@@ -1,0 +1,212 @@
+"""Bi-Tempered logistic loss (arXiv:1906.03361).
+
+Behavioral parity target: pytorch_toolbelt/losses/bitempered_loss.py:25-284.
+
+The normalization constant of the tempered softmax is found iteratively
+(fixed point for t>1, binary search for t<1) — both loops become
+``lax.fori_loop``s.  The backward pass through the iteration is replaced by
+the analytic escort-distribution gradient via ``jax.custom_vjp``, matching the
+reference's custom ``ComputeNormalization`` autograd function
+(bitempered_loss.py:80-110).
+
+Activations are channels-LAST ([..., num_classes]) in both the reference and
+here — the one loss family where the layouts already agree.
+"""
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "log_t",
+    "exp_t",
+    "tempered_softmax",
+    "bi_tempered_logistic_loss",
+    "BiTemperedLogisticLoss",
+    "BinaryBiTemperedLogisticLoss",
+]
+
+
+def log_t(u: jnp.ndarray, t: float) -> jnp.ndarray:
+    if t == 1.0:
+        return jnp.log(u)
+    return (jnp.power(u, 1.0 - t) - 1.0) / (1.0 - t)
+
+
+def exp_t(u: jnp.ndarray, t: float) -> jnp.ndarray:
+    if t == 1.0:
+        return jnp.exp(u)
+    return jnp.power(jax.nn.relu(1.0 + (1.0 - t) * u), 1.0 / (1.0 - t))
+
+
+def _normalization_fixed_point(activations: jnp.ndarray, t: float, num_iters: int) -> jnp.ndarray:
+    """Fixed-point iteration for t > 1 (reference bitempered_loss.py:25-45)."""
+    mu = jnp.max(activations, axis=-1, keepdims=True)
+    normalized0 = activations - mu
+
+    def body(_, normalized):
+        logt_partition = jnp.sum(exp_t(normalized, t), axis=-1, keepdims=True)
+        return normalized0 * jnp.power(logt_partition, 1.0 - t)
+
+    normalized = lax.fori_loop(0, num_iters, body, normalized0)
+    logt_partition = jnp.sum(exp_t(normalized, t), axis=-1, keepdims=True)
+    return -log_t(1.0 / logt_partition, t) + mu
+
+
+def _normalization_binary_search(activations: jnp.ndarray, t: float, num_iters: int) -> jnp.ndarray:
+    """Binary search for t < 1 (reference bitempered_loss.py:48-77)."""
+    mu = jnp.max(activations, axis=-1, keepdims=True)
+    normalized = activations - mu
+    effective_dim = jnp.sum(
+        (normalized > -1.0 / (1.0 - t)).astype(jnp.int32), axis=-1, keepdims=True
+    ).astype(activations.dtype)
+
+    lower = jnp.zeros_like(mu)
+    upper = -log_t(1.0 / effective_dim, t) * jnp.ones_like(lower)
+
+    def body(_, carry):
+        lower, upper = carry
+        logt_partition = (upper + lower) / 2.0
+        sum_probs = jnp.sum(exp_t(normalized - logt_partition, t), axis=-1, keepdims=True)
+        update = (sum_probs < 1.0).astype(activations.dtype)
+        new_lower = lower * update + (1.0 - update) * logt_partition
+        new_upper = upper * (1.0 - update) + update * logt_partition
+        return new_lower, new_upper
+
+    lower, upper = lax.fori_loop(0, num_iters, body, (lower, upper))
+    return (upper + lower) / 2.0 + mu
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def compute_normalization(activations: jnp.ndarray, t: float, num_iters: int = 5) -> jnp.ndarray:
+    if t < 1.0:
+        return _normalization_binary_search(activations, t, num_iters)
+    return _normalization_fixed_point(activations, t, num_iters)
+
+
+def _compute_normalization_fwd(activations, t, num_iters):
+    constants = compute_normalization(activations, t, num_iters)
+    return constants, (activations, constants)
+
+
+def _compute_normalization_bwd(t, num_iters, residuals, grad_output):
+    """Escort-distribution backward (reference bitempered_loss.py:97-110)."""
+    activations, constants = residuals
+    probabilities = exp_t(activations - constants, t)
+    escorts = jnp.power(probabilities, t)
+    escorts = escorts / jnp.sum(escorts, axis=-1, keepdims=True)
+    return (escorts * grad_output,)
+
+
+compute_normalization.defvjp(_compute_normalization_fwd, _compute_normalization_bwd)
+
+
+def tempered_softmax(activations: jnp.ndarray, t: float, num_iters: int = 5) -> jnp.ndarray:
+    if t == 1.0:
+        return jax.nn.softmax(activations, axis=-1)
+    constants = compute_normalization(activations, t, num_iters)
+    return exp_t(activations - constants, t)
+
+
+def bi_tempered_logistic_loss(
+    activations: jnp.ndarray,
+    labels: jnp.ndarray,
+    t1: float,
+    t2: float,
+    label_smoothing: float = 0.0,
+    num_iters: int = 5,
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """Bi-Tempered logistic loss.
+
+    Args:
+        activations: [..., num_classes] logits.
+        labels: either one-hot of activations' shape, or integer labels with
+            one dimension fewer.
+    """
+    if labels.ndim < activations.ndim:
+        labels_onehot = jax.nn.one_hot(labels, activations.shape[-1], dtype=activations.dtype)
+    else:
+        labels_onehot = labels.astype(activations.dtype)
+
+    if label_smoothing > 0:
+        num_classes = labels_onehot.shape[-1]
+        labels_onehot = (
+            1 - label_smoothing * num_classes / (num_classes - 1)
+        ) * labels_onehot + label_smoothing / (num_classes - 1)
+
+    probabilities = tempered_softmax(activations, t2, num_iters)
+
+    loss_values = (
+        labels_onehot * log_t(labels_onehot + 1e-10, t1)
+        - labels_onehot * log_t(probabilities, t1)
+        - jnp.power(labels_onehot, 2.0 - t1) / (2.0 - t1)
+        + jnp.power(probabilities, 2.0 - t1) / (2.0 - t1)
+    )
+    loss_values = loss_values.sum(axis=-1)
+
+    if reduction == "sum":
+        return loss_values.sum()
+    if reduction == "mean":
+        return loss_values.mean()
+    return loss_values
+
+
+@dataclasses.dataclass(frozen=True)
+class BiTemperedLogisticLoss:
+    """Reference bitempered_loss.py:183-222. ``ignore_index`` masks by target."""
+
+    t1: float
+    t2: float
+    smoothing: float = 0.0
+    ignore_index: Optional[int] = None
+    reduction: str = "mean"
+
+    def __call__(self, predictions: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+        loss = bi_tempered_logistic_loss(
+            predictions, targets, t1=self.t1, t2=self.t2,
+            label_smoothing=self.smoothing, reduction="none",
+        )
+        if self.ignore_index is not None:
+            mask = targets != self.ignore_index
+            loss = loss * mask
+        if self.reduction == "mean":
+            return loss.mean()
+        if self.reduction == "sum":
+            return loss.sum()
+        return loss
+
+
+@dataclasses.dataclass(frozen=True)
+class BinaryBiTemperedLogisticLoss:
+    """Binary variant; predictions/targets are [B, *spatial, 1] channels-last
+    (reference bitempered_loss.py:223-284 uses [B,1,...])."""
+
+    t1: float
+    t2: float
+    smoothing: float = 0.0
+    ignore_index: Optional[int] = None
+    reduction: str = "mean"
+
+    def __call__(self, predictions: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+        if predictions.shape[-1] != 1 or targets.shape[-1] != 1:
+            raise ValueError("Channel dimension for predictions and targets must be equal to 1")
+        loss = bi_tempered_logistic_loss(
+            jnp.concatenate([-predictions, predictions], axis=-1),
+            jnp.concatenate([1 - targets, targets], axis=-1),
+            t1=self.t1,
+            t2=self.t2,
+            label_smoothing=self.smoothing,
+            reduction="none",
+        )[..., None]
+        if self.ignore_index is not None:
+            loss = jnp.where(targets == self.ignore_index, 0.0, loss)
+        if self.reduction == "mean":
+            return loss.mean()
+        if self.reduction == "sum":
+            return loss.sum()
+        return loss

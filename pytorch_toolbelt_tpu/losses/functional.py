@@ -1,0 +1,313 @@
+"""Pure-JAX loss functionals.
+
+Behavioral parity targets: pytorch_toolbelt/losses/functional.py (reference).
+Conventions differ from the torch reference where TPU/JAX idiom demands it:
+
+* Class axis is **last** (channels-last / NHWC world) — matching jax.nn.one_hot
+  and optax.  The torch reference keeps classes at axis 1; parity tests
+  transpose accordingly.
+* Everything is a pure function of arrays, differentiable and jit-safe
+  (no data-dependent shapes; ``ignore_index`` is handled by masking).
+* All losses compute in float32 regardless of input dtype — the analogue of
+  the reference's ``@torch.cuda.amp.autocast(False)`` fp32 guard
+  (reference functional.py:19).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "binary_cross_entropy_with_logits",
+    "focal_loss_with_logits",
+    "softmax_focal_loss_with_logits",
+    "soft_jaccard_score",
+    "soft_dice_score",
+    "wing_loss",
+    "label_smoothed_nll_loss",
+    "log_cosh_loss",
+    "balanced_binary_cross_entropy_with_logits",
+    "soft_micro_f1",
+    "reduce_loss",
+]
+
+Reduction = Optional[Union[str, Callable]]
+
+
+def reduce_loss(loss: jnp.ndarray, reduction: str) -> jnp.ndarray:
+    """Apply 'none' | 'mean' | 'sum' | 'batchwise_mean' reduction."""
+    if reduction == "mean":
+        return loss.mean()
+    if reduction == "sum":
+        return loss.sum()
+    if reduction == "batchwise_mean":
+        return loss.sum(axis=0)
+    return loss
+
+
+def binary_cross_entropy_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Numerically-stable elementwise BCE on logits (no reduction).
+
+    Identity: softplus(x) - x * t, computed in the max/log1p-exp form that
+    torch's F.binary_cross_entropy_with_logits uses.
+    """
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def focal_loss_with_logits(
+    output: jnp.ndarray,
+    target: jnp.ndarray,
+    gamma: float = 2.0,
+    alpha: Optional[float] = 0.25,
+    reduction: str = "mean",
+    normalized: bool = False,
+    reduced_threshold: Optional[float] = None,
+    eps: float = 1e-6,
+    ignore_index: Optional[int] = None,
+    activation: str = "sigmoid",
+    softmax_axis: Optional[int] = None,
+    class_weights: Optional[jnp.ndarray] = None,
+    class_axis: int = -1,
+) -> jnp.ndarray:
+    """Binary focal loss on logits (reference functional.py:19-107).
+
+    Supports normalized focal loss (arXiv:1909.07829), reduced focal loss
+    (arXiv:1903.01347), alpha balancing, per-class weights and ignore_index.
+
+    Args:
+        output: logits of arbitrary shape.
+        target: same shape as ``output`` (may contain ``ignore_index``).
+        class_weights: optional [C] vector broadcast along ``class_axis``.
+    """
+    output = output.astype(jnp.float32)
+    target_f = target.astype(jnp.float32)
+
+    if activation == "sigmoid":
+        p = jax.nn.sigmoid(output)
+    else:
+        p = jax.nn.softmax(output, axis=softmax_axis)
+
+    ce_loss = binary_cross_entropy_with_logits(output, target_f)
+    pt = p * target_f + (1 - p) * (1 - target_f)
+
+    if reduced_threshold is None:
+        focal_term = jnp.power(1.0 - pt, gamma)
+    else:
+        focal_term = jnp.power((1.0 - pt) / (1 - reduced_threshold), gamma)
+        focal_term = jnp.where(pt < reduced_threshold, 1.0, focal_term)
+
+    loss = focal_term * ce_loss
+
+    if alpha is not None:
+        loss = loss * (alpha * target_f + (1 - alpha) * (1 - target_f))
+
+    if class_weights is not None:
+        class_weights = jnp.asarray(class_weights, dtype=loss.dtype)
+        axis = class_axis % loss.ndim
+        shape = [1] * loss.ndim
+        shape[axis] = -1
+        loss = loss * class_weights.reshape(shape)
+
+    if ignore_index is not None:
+        ignore_mask = target == ignore_index
+        loss = jnp.where(ignore_mask, 0.0, loss)
+        if normalized:
+            focal_term = jnp.where(ignore_mask, 0.0, focal_term)
+
+    if normalized:
+        norm_factor = jnp.maximum(focal_term.sum(dtype=jnp.float32), eps)
+        loss = loss / norm_factor
+
+    return reduce_loss(loss, reduction)
+
+
+def softmax_focal_loss_with_logits(
+    output: jnp.ndarray,
+    target: jnp.ndarray,
+    class_weights: Optional[jnp.ndarray] = None,
+    gamma: float = 2.0,
+    reduction: str = "mean",
+    normalized: bool = False,
+    reduced_threshold: Optional[float] = None,
+    eps: float = 1e-6,
+    ignore_index: int = -100,
+) -> jnp.ndarray:
+    """Softmax (multiclass) focal loss (reference functional.py:110-173).
+
+    Args:
+        output: [B, *spatial, C] logits (classes LAST).
+        target: [B, *spatial] integer labels.
+    """
+    output = output.astype(jnp.float32)
+    num_classes = output.shape[-1]
+
+    ignore_mask = target == ignore_index
+    pos_mask = jnp.logical_not(ignore_mask)
+    targets_masked = jnp.where(ignore_mask, 0, target)
+    targets_oh = jax.nn.one_hot(targets_masked, num_classes, dtype=jnp.float32)
+
+    probs = jax.nn.softmax(output, axis=-1)
+    # pt = probability of the WRONG assignment (reference functional.py:144)
+    pt = (1 - targets_oh) * probs + targets_oh * (1 - probs)
+
+    loss = binary_cross_entropy_with_logits(output, targets_oh)
+
+    if reduced_threshold is None:
+        focal_term = jnp.power(pt, gamma)
+    else:
+        focal_term = jnp.power(pt / reduced_threshold, gamma)
+        focal_term = jnp.where(pt < reduced_threshold, 1.0, focal_term)
+
+    loss = focal_term * loss
+    if class_weights is not None:
+        loss = loss * jnp.asarray(class_weights, dtype=loss.dtype)
+
+    loss = loss.sum(axis=-1) * pos_mask
+
+    if normalized:
+        norm_factor = jnp.maximum(focal_term.sum(), eps)
+        loss = loss / norm_factor
+
+    return reduce_loss(loss, reduction)
+
+
+def soft_jaccard_score(
+    output: jnp.ndarray,
+    target: jnp.ndarray,
+    smooth: float = 0.0,
+    eps: float = 1e-7,
+    dims=None,
+) -> jnp.ndarray:
+    """Soft IoU score (reference functional.py:188-218)."""
+    assert output.shape == target.shape
+    if dims is not None:
+        intersection = jnp.sum(output * target, axis=dims)
+        cardinality = jnp.sum(output + target, axis=dims)
+    else:
+        intersection = jnp.sum(output * target)
+        cardinality = jnp.sum(output + target)
+    union = cardinality - intersection
+    return (intersection + smooth) / jnp.maximum(union + smooth, eps)
+
+
+def soft_dice_score(
+    output: jnp.ndarray,
+    target: jnp.ndarray,
+    smooth: float = 0.0,
+    eps: float = 1e-7,
+    dims=None,
+) -> jnp.ndarray:
+    """Soft Dice score (reference functional.py:221-247)."""
+    assert output.shape == target.shape
+    if dims is not None:
+        intersection = jnp.sum(output * target, axis=dims)
+        cardinality = jnp.sum(output + target, axis=dims)
+    else:
+        intersection = jnp.sum(output * target)
+        cardinality = jnp.sum(output + target)
+    return (2.0 * intersection + smooth) / jnp.maximum(cardinality + smooth, eps)
+
+
+def wing_loss(
+    output: jnp.ndarray,
+    target: jnp.ndarray,
+    width: float = 5,
+    curvature: float = 0.5,
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """Wing loss for landmark regression (arXiv:1711.06753;
+    reference functional.py:250-277)."""
+    diff_abs = jnp.abs(target - output)
+    c = width - width * math.log(1 + width / curvature)
+    loss = jnp.where(
+        diff_abs < width,
+        width * jnp.log1p(diff_abs / curvature),
+        diff_abs - c,
+    )
+    return reduce_loss(loss, reduction)
+
+
+def label_smoothed_nll_loss(
+    lprobs: jnp.ndarray,
+    target: jnp.ndarray,
+    epsilon: float,
+    ignore_index: Optional[int] = None,
+    reduction: str = "mean",
+    axis: int = -1,
+) -> jnp.ndarray:
+    """Label-smoothed NLL on log-probabilities (reference functional.py:280-323).
+
+    Args:
+        lprobs: log-probabilities with class dimension at ``axis``.
+        target: integer labels, shape of ``lprobs`` without the class axis.
+    """
+    num_classes = lprobs.shape[axis]
+    lprobs = jnp.moveaxis(lprobs, axis, -1)
+
+    if ignore_index is not None:
+        pad_mask = target == ignore_index
+        target_masked = jnp.where(pad_mask, 0, target)
+        nll_loss = -jnp.take_along_axis(lprobs, target_masked[..., None], axis=-1).squeeze(-1)
+        smooth_loss = -lprobs.sum(axis=-1)
+        nll_loss = jnp.where(pad_mask, 0.0, nll_loss)
+        smooth_loss = jnp.where(pad_mask, 0.0, smooth_loss)
+    else:
+        nll_loss = -jnp.take_along_axis(lprobs, target[..., None], axis=-1).squeeze(-1)
+        smooth_loss = -lprobs.sum(axis=-1)
+
+    if reduction == "sum":
+        nll_loss = nll_loss.sum()
+        smooth_loss = smooth_loss.sum()
+    if reduction == "mean":
+        nll_loss = nll_loss.mean()
+        smooth_loss = smooth_loss.mean()
+
+    eps_i = epsilon / num_classes
+    return (1.0 - epsilon) * nll_loss + eps_i * smooth_loss
+
+
+def log_cosh_loss(y_pred: jnp.ndarray, y_true: jnp.ndarray) -> jnp.ndarray:
+    """Numerically-stable mean log-cosh (reference functional.py:326-342)."""
+    x = y_pred - y_true
+    return jnp.mean(x + jax.nn.softplus(-2.0 * x) - math.log(2.0))
+
+
+def balanced_binary_cross_entropy_with_logits(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    gamma: float = 1.0,
+    ignore_index: Optional[int] = None,
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """Balanced BCE (arXiv:1504.06375 formula 2; reference balanced_bce.py:10-48).
+
+    pos/neg weights derive from batch label statistics raised to ``gamma``.
+    """
+    pos_targets = jnp.sum(targets == 1)
+    neg_targets = jnp.sum(targets == 0)
+    num_targets = pos_targets + neg_targets
+    pos_weight = jnp.power(neg_targets / (num_targets + 1e-7), gamma)
+    neg_weight = 1.0 - pos_weight
+
+    pos_term = jnp.power(pos_weight, gamma) * targets * jax.nn.log_sigmoid(logits)
+    neg_term = jnp.power(neg_weight, gamma) * (1 - targets) * jax.nn.log_sigmoid(-logits)
+    loss = -(pos_term + neg_term)
+
+    if ignore_index is not None:
+        loss = jnp.where(targets == ignore_index, 0.0, loss)
+
+    return reduce_loss(loss, reduction)
+
+
+def soft_micro_f1(preds: jnp.ndarray, targets: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Mean (1 - soft-F1) over classes; probabilities in, scalar out
+    (reference soft_f1.py:8-29). Shapes: [num_samples, num_classes]."""
+    tp = jnp.sum(preds * targets, axis=0)
+    fp = jnp.sum(preds * (1 - targets), axis=0)
+    fn = jnp.sum((1 - preds) * targets, axis=0)
+    soft_f1 = 2 * tp / (2 * tp + fn + fp + eps)
+    return (1 - soft_f1).mean()
