@@ -13,11 +13,20 @@ import os
 import sys
 import types
 
-# Must happen before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must happen before any jax computation. NOTE: this image's sitecustomize
+# registers the axon TPU backend at interpreter boot and overrides
+# JAX_PLATFORMS from the environment, so we must force CPU through
+# jax.config, not env vars.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on the virtual CPU mesh"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for sharding tests"
 
 REFERENCE_PATH = "/root/reference"
 _reference_available = None
