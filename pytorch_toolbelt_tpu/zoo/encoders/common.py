@@ -1,0 +1,72 @@
+"""Encoder machinery (reference: modules/encoders/common.py:23-152).
+
+Encoders are flax modules whose ``__call__`` returns a list of NHWC feature
+maps ordered fine -> coarse, and which expose ``get_output_spec()`` computed
+statically from the module config (no forward pass needed).
+
+``change_input_channels`` in the reference rebuilds the stem conv in-place
+(common.py:44-84).  Functionally in JAX this is parameter surgery: we tile
+the HWIO stem kernel along the input-channel axis.
+"""
+
+from typing import Any, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...core.interfaces import FeatureMapsSpec
+
+__all__ = ["EncoderBase", "_take", "make_n_channel_input_kernel", "change_stem_input_channels"]
+
+
+def _take(elements: Sequence[Any], indexes: Sequence[int]) -> List[Any]:
+    return [elements[i] for i in indexes]
+
+
+class EncoderBase(nn.Module):
+    """Base class for encoders: list-of-feature-maps contract."""
+
+    def get_output_spec(self) -> FeatureMapsSpec:
+        raise NotImplementedError
+
+    @property
+    def channels(self) -> Tuple[int, ...]:
+        return self.get_output_spec().channels
+
+    @property
+    def strides(self) -> Tuple[int, ...]:
+        return self.get_output_spec().strides
+
+
+def make_n_channel_input_kernel(kernel: jnp.ndarray, in_channels: int) -> jnp.ndarray:
+    """Tile/slice an HWIO conv kernel to accept ``in_channels`` inputs,
+    reproducing the reference's weight-tiling surgery (common.py:44-84)."""
+    h, w, i, o = kernel.shape
+    if i == in_channels:
+        return kernel
+    if in_channels > i:
+        n = -(-in_channels // i)  # ceil
+        kernel = jnp.concatenate([kernel] * n, axis=2)
+    return kernel[:, :, :in_channels, :]
+
+
+def change_stem_input_channels(variables, stem_kernel_path: Sequence[str], in_channels: int):
+    """Return a new variables pytree whose stem conv kernel accepts
+    ``in_channels`` input channels.
+
+    Args:
+        variables: flax variables dict ({'params': {...}, ...}).
+        stem_kernel_path: key path to the kernel inside variables['params'],
+            e.g. ('layer0', 'Conv_0', 'kernel').
+    """
+    import flax
+
+    params = flax.core.unfreeze(variables["params"]) if hasattr(flax.core, "unfreeze") else dict(variables["params"])
+    node = params
+    for key in stem_kernel_path[:-1]:
+        node[key] = dict(node[key])
+        node = node[key]
+    node[stem_kernel_path[-1]] = make_n_channel_input_kernel(node[stem_kernel_path[-1]], in_channels)
+    new_vars = dict(variables)
+    new_vars["params"] = params
+    return new_vars
