@@ -16,6 +16,18 @@ Layers (see SURVEY.md):
 
 __version__ = "0.1.0"
 
-from . import core, losses
+from . import core, datasets, distributed, inference, losses, nn, ops, optimization, utils, zoo
 
-__all__ = ["core", "losses", "__version__"]
+__all__ = [
+    "core",
+    "datasets",
+    "distributed",
+    "inference",
+    "losses",
+    "nn",
+    "ops",
+    "optimization",
+    "utils",
+    "zoo",
+    "__version__",
+]

@@ -1,0 +1,40 @@
+"""Pallas kernel tests (interpret mode on the CPU mesh; the real-TPU path is
+exercised by bench.py / verification drives)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_toolbelt_tpu.ops import pallas_accumulate_tiles, pallas_available
+from pytorch_toolbelt_tpu.inference import ImageSlicer, accumulate_tiles
+
+
+@pytest.mark.skipif(not pallas_available(), reason="pallas not importable")
+def test_pallas_tile_merge_matches_xla():
+    rng = np.random.RandomState(0)
+    image = rng.rand(200, 180, 3).astype(np.float32)
+    tiler = ImageSlicer(image.shape, tile_size=(64, 64), tile_step=(32, 32), weight="pyramid")
+    tiles = np.stack(tiler.split(image))
+    coords_yx = np.stack([tiler.crops[:, 1], tiler.crops[:, 0]], axis=1).astype(np.int32)
+
+    h, w = tiler.target_shape
+    weight = jnp.asarray(tiler.weight.astype(np.float32))[..., None]
+
+    canvas_x = jnp.zeros((h, w, 3))
+    norm_x = jnp.zeros((h, w, 1))
+    canvas_x, norm_x = accumulate_tiles(canvas_x, norm_x, jnp.asarray(tiles), jnp.asarray(coords_yx), weight)
+
+    canvas_p = jnp.zeros((h, w, 3))
+    norm_p = jnp.zeros((h, w, 1))
+    canvas_p, norm_p = pallas_accumulate_tiles(
+        canvas_p, norm_p, jnp.asarray(tiles), jnp.asarray(coords_yx), weight, interpret=True
+    )
+
+    np.testing.assert_allclose(np.asarray(canvas_p), np.asarray(canvas_x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(norm_p), np.asarray(norm_x), atol=1e-4)
+
+    merged = np.asarray(canvas_p / jnp.maximum(norm_p, 1e-8))
+    merged = tiler.crop_to_orignal_size(merged)
+    np.testing.assert_allclose(merged, image, atol=1e-4)

@@ -1,0 +1,130 @@
+"""Tile slicing/merging tests (oracles from reference tests/test_tiles.py:13-85)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_toolbelt_tpu.inference import (
+    ImageSlicer,
+    TileMerger,
+    VolumeMerger,
+    VolumeSlicer,
+    tiled_apply,
+)
+
+
+def test_tiles_split_merge():
+    image = np.random.random((500, 500, 3)).astype(np.uint8)
+    tiler = ImageSlicer(image.shape, tile_size=51, tile_step=26, weight="mean")
+    tiles = tiler.split(image)
+    merged = tiler.merge(tiles, dtype=np.uint8)
+    np.testing.assert_equal(merged, image)
+
+
+def test_tiles_split_merge_non_dividable():
+    image = np.random.random((563, 512, 3)).astype(np.uint8)
+    tiler = ImageSlicer(image.shape, tile_size=(128, 128), tile_step=(128, 128), weight="mean")
+    tiles = tiler.split(image)
+    merged = tiler.merge(tiles, dtype=np.uint8)
+    np.testing.assert_equal(merged, image)
+
+
+def test_tiles_split_merge_pyramid():
+    image = np.random.random((1051, 1023, 3)).astype(np.uint8)
+    tiler = ImageSlicer(image.shape, tile_size=(256, 256), tile_step=(128, 128), weight="pyramid")
+    np.testing.assert_allclose(tiler.weight, tiler.weight.T)
+    tiles = tiler.split(image)
+    merged = tiler.merge(tiles, dtype=np.uint8)
+    np.testing.assert_equal(merged, image)
+
+
+def test_pyramid_weight_matches_reference():
+    from conftest import reference_available
+
+    if not reference_available():
+        pytest.skip("reference not importable")
+    from pytorch_toolbelt.inference.tiles import compute_pyramid_patch_weight_loss as ref_w
+
+    from pytorch_toolbelt_tpu.inference import compute_pyramid_patch_weight_loss as my_w
+
+    for size in [(64, 64), (128, 96), (51, 37)]:
+        wm, _, _ = my_w(*size)
+        wr, _, _ = ref_w(*size)
+        np.testing.assert_allclose(wm, wr, rtol=1e-12)
+
+
+def test_device_tile_merger_roundtrip():
+    """Split -> device merge reconstructs the input exactly
+    (reference test_tiles.py:29-45, CUDA test, here on XLA)."""
+    image = np.random.random((501, 512, 3)).astype(np.float32)
+    tiler = ImageSlicer(image.shape, tile_size=(128, 128), tile_step=(64, 64), weight="pyramid")
+    tiles = tiler.split(image)
+
+    merger = TileMerger(tiler.target_shape, channels=3, weight=tiler.weight)
+    batch = np.stack(tiles)
+    merger.integrate_batch(jnp.asarray(batch), tiler.crops)
+
+    merged = np.asarray(merger.merge())
+    merged = tiler.crop_to_orignal_size(merged)
+    np.testing.assert_allclose(merged, image, atol=1e-4)
+
+
+def test_device_tile_merger_with_model():
+    """Model-through-merger equals direct model output
+    (reference test_tiles.py:58-85)."""
+
+    def max_channel(x):  # [B, H, W, C] -> [B, H, W, 1]
+        return jnp.max(x, axis=-1, keepdims=True)
+
+    image = np.random.random((300, 300, 3)).astype(np.float32)
+    tiler = ImageSlicer(image.shape, tile_size=(128, 128), tile_step=(64, 64), weight="pyramid")
+    tiles = np.stack(tiler.split(image))
+
+    merger = TileMerger(tiler.target_shape, 1, tiler.weight)
+    for i in range(0, len(tiles), 8):
+        batch = jnp.asarray(tiles[i : i + 8])
+        merger.integrate_batch(max_channel(batch), tiler.crops[i : i + 8])
+
+    merged = tiler.crop_to_orignal_size(np.asarray(merger.merge()))
+    np.testing.assert_allclose(merged[..., 0], image.max(axis=2), atol=1e-4)
+
+
+def test_tiled_apply_end_to_end():
+    """Fully-fused on-device pipeline equals direct model application."""
+
+    def model(x):
+        return jnp.max(x, axis=-1, keepdims=True) * 2.0
+
+    image = jnp.asarray(np.random.random((300, 280, 3)).astype(np.float32))
+    out = tiled_apply(model, image, tile_size=128, tile_step=64, weight="pyramid", batch_size=4)
+    expected = np.asarray(model(image[None]))[0]
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
+
+
+def test_tiled_apply_mean_weight():
+    def model(x):
+        return x * 1.0
+
+    image = jnp.asarray(np.random.random((200, 200, 2)).astype(np.float32))
+    out = tiled_apply(model, image, tile_size=64, tile_step=32, weight="mean", batch_size=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(image), atol=1e-4)
+
+
+def test_volume_slicer_roundtrip():
+    volume = np.random.random((70, 80, 90)).astype(np.float32)
+    slicer = VolumeSlicer(volume.shape, voxel_size=32, voxel_step=16, weight="mean")
+    tiles = slicer.split(volume)
+    merged = slicer.merge(tiles)
+    np.testing.assert_allclose(merged[..., 0], volume, atol=1e-5)
+
+
+def test_volume_merger_roundtrip():
+    volume = np.random.random((40, 48, 56, 2)).astype(np.float32)
+    slicer = VolumeSlicer(volume.shape[:3], voxel_size=16, voxel_step=8, weight="pyramid")
+    tiles = np.stack(slicer.split(volume))
+    merger = VolumeMerger(slicer.target_shape, channels=2, weight=slicer.weight)
+    merger.integrate_batch(jnp.asarray(tiles), slicer.crops)
+    merged = slicer.crop_to_original_size(np.asarray(merger.merge()))
+    np.testing.assert_allclose(merged, volume, atol=1e-4)
