@@ -4,6 +4,69 @@ from .decoders.deeplab import DeeplabV3Decoder, DeeplabV3PlusDecoder
 from .decoders.fpn import FPNDecoder
 from .decoders.unet import UNetDecoder
 from .encoders.common import EncoderBase, change_stem_input_channels, make_n_channel_input_kernel
+from .encoders.densenet import (
+    DenseNetEncoder,
+    densenet121_encoder,
+    densenet161_encoder,
+    densenet169_encoder,
+    densenet201_encoder,
+)
+from .encoders.efficientnet import (
+    EfficientNetEncoder,
+    efficientnet_b0_encoder,
+    efficientnet_b1_encoder,
+    efficientnet_b2_encoder,
+    efficientnet_b3_encoder,
+    efficientnet_b4_encoder,
+    efficientnet_b5_encoder,
+    efficientnet_b6_encoder,
+    efficientnet_b7_encoder,
+)
+from .encoders.hourglass import StackedHGEncoder, StackedSupervisedHGEncoder
+from .encoders.hrnet import HRNetEncoder, hrnet18_encoder, hrnet34_encoder, hrnet48_encoder
+from .encoders.inception import InceptionV4Encoder, inception_v4_encoder
+from .encoders.mix_transformer import (
+    MixVisionTransformerEncoder,
+    mit_b0_encoder,
+    mit_b1_encoder,
+    mit_b2_encoder,
+    mit_b3_encoder,
+    mit_b4_encoder,
+    mit_b5_encoder,
+)
+from .encoders.mobilenet import (
+    MobileNetV2Encoder,
+    MobileNetV3Encoder,
+    mobilenet_v3_large_encoder,
+    mobilenet_v3_small_encoder,
+)
+from .encoders.squeezenet import SqueezeNetEncoder, squeezenet_encoder
+from .encoders.swin import (
+    SwinTransformerEncoder,
+    swin_base_encoder,
+    swin_large_encoder,
+    swin_small_encoder,
+    swin_tiny_encoder,
+)
+from .encoders.wide_resnet import (
+    WiderResNetEncoder,
+    wider_resnet16_encoder,
+    wider_resnet20_encoder,
+    wider_resnet38_encoder,
+)
+from .encoders.xresnet import (
+    XResNetEncoder,
+    se_xresnet18_encoder,
+    se_xresnet34_encoder,
+    se_xresnet50_encoder,
+    se_xresnet101_encoder,
+    se_xresnet152_encoder,
+    xresnet18_encoder,
+    xresnet34_encoder,
+    xresnet50_encoder,
+    xresnet101_encoder,
+    xresnet152_encoder,
+)
 from .encoders.resnet import (
     ResNetEncoder,
     resnet18_encoder,
@@ -35,6 +98,61 @@ from .heads.segformer import SegFormerHead
 from .models import EncoderDecoderModel, UNetSegmentationModel
 
 __all__ = [
+    "DenseNetEncoder",
+    "EfficientNetEncoder",
+    "HRNetEncoder",
+    "InceptionV4Encoder",
+    "MixVisionTransformerEncoder",
+    "MobileNetV2Encoder",
+    "MobileNetV3Encoder",
+    "SqueezeNetEncoder",
+    "StackedHGEncoder",
+    "StackedSupervisedHGEncoder",
+    "SwinTransformerEncoder",
+    "WiderResNetEncoder",
+    "XResNetEncoder",
+    "densenet121_encoder",
+    "densenet161_encoder",
+    "densenet169_encoder",
+    "densenet201_encoder",
+    "efficientnet_b0_encoder",
+    "efficientnet_b1_encoder",
+    "efficientnet_b2_encoder",
+    "efficientnet_b3_encoder",
+    "efficientnet_b4_encoder",
+    "efficientnet_b5_encoder",
+    "efficientnet_b6_encoder",
+    "efficientnet_b7_encoder",
+    "hrnet18_encoder",
+    "hrnet34_encoder",
+    "hrnet48_encoder",
+    "inception_v4_encoder",
+    "mit_b0_encoder",
+    "mit_b1_encoder",
+    "mit_b2_encoder",
+    "mit_b3_encoder",
+    "mit_b4_encoder",
+    "mit_b5_encoder",
+    "mobilenet_v3_large_encoder",
+    "mobilenet_v3_small_encoder",
+    "se_xresnet101_encoder",
+    "se_xresnet152_encoder",
+    "se_xresnet18_encoder",
+    "se_xresnet34_encoder",
+    "se_xresnet50_encoder",
+    "squeezenet_encoder",
+    "swin_base_encoder",
+    "swin_large_encoder",
+    "swin_small_encoder",
+    "swin_tiny_encoder",
+    "wider_resnet16_encoder",
+    "wider_resnet20_encoder",
+    "wider_resnet38_encoder",
+    "xresnet101_encoder",
+    "xresnet152_encoder",
+    "xresnet18_encoder",
+    "xresnet34_encoder",
+    "xresnet50_encoder",
     "BiFPNBlock",
     "BiFPNConvBlock",
     "BiFPNDecoder",
