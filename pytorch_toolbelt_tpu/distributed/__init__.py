@@ -1,3 +1,13 @@
+from .comm import (
+    DistributedGuard,
+    all_gather,
+    broadcast_from_master,
+    is_dist_avail_and_initialized,
+    master_node_only,
+    reduce_dict_sum,
+    split_across_nodes,
+)
+from .tiled import tiled_apply_sharded
 from .mesh import (
     batch_sharding,
     batch_spatial_sharding,
@@ -11,6 +21,14 @@ from .mesh import (
 )
 
 __all__ = [
+    "DistributedGuard",
+    "all_gather",
+    "broadcast_from_master",
+    "is_dist_avail_and_initialized",
+    "master_node_only",
+    "reduce_dict_sum",
+    "split_across_nodes",
+    "tiled_apply_sharded",
     "batch_sharding",
     "batch_spatial_sharding",
     "get_rank",

@@ -20,7 +20,9 @@ from .fs import (
     read_rgb_image,
     zipdir,
 )
+from .checkpoint import checkpoint_exists, load_checkpoint, save_checkpoint
 from .namesgenerator import get_random_name
+from .profiling import Timer, benchmark, describe_compile, trace
 from .python_utils import as_tuple_of_two, load_yaml, maybe_eval, without
 from .random_utils import get_rng_state, set_manual_seed, set_rng_state
 from .rle import rle_decode, rle_encode, rle_to_string

@@ -1,0 +1,86 @@
+"""Distributed layer tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import pytorch_toolbelt_tpu.distributed as dist
+
+
+def test_world_size_and_rank():
+    assert dist.get_world_size() == 8  # 8 virtual devices
+    assert dist.get_rank() == 0
+    assert dist.is_main_process()
+    assert not dist.is_dist_avail_and_initialized()  # single process
+
+
+def test_single_process_collectives_are_identity():
+    obj = {"a": 1, "b": [1, 2, 3]}
+    assert dist.all_gather(obj) == [obj]
+    assert dist.broadcast_from_master(obj) == obj
+    assert dist.reduce_dict_sum({"x": 5}) == {"x": 5}
+
+
+def test_split_across_nodes_even():
+    items = list(range(10))
+    assert dist.split_across_nodes(items, world_size=1, rank=0) == items
+    shard0 = dist.split_across_nodes(items, world_size=4, rank=0)
+    shard1 = dist.split_across_nodes(items, world_size=4, rank=1)
+    assert shard0 == [0, 4, 8] and shard1 == [1, 5, 9]
+
+
+def test_split_across_nodes_cost_balanced():
+    items = list(range(8))
+    costs = np.array([100, 1, 1, 1, 1, 1, 1, 1], dtype=np.float64)
+    shards = [dist.split_across_nodes(items, costs=costs, world_size=2, rank=r) for r in (0, 1)]
+    assert sorted(shards[0] + shards[1]) == items
+    # the expensive item must be alone-ish on its bucket
+    heavy_shard = shards[0] if 0 in shards[0] else shards[1]
+    assert len(heavy_shard) < len(items) - len(heavy_shard) + 2
+
+
+def test_master_node_only():
+    calls = []
+
+    @dist.master_node_only
+    def record(x):
+        calls.append(x)
+        return x
+
+    assert record(5) == 5
+    assert calls == [5]
+
+
+def test_distributed_guard_noop():
+    with dist.DistributedGuard():
+        assert dist.get_world_size() == 8
+
+
+def test_tiled_apply_sharded_matches_direct():
+    """Mesh-sharded tiled inference must reconstruct the direct output."""
+    mesh = dist.make_mesh(jax.devices(), data_parallel=8, spatial_parallel=1)
+
+    def model(x):
+        return jnp.max(x, axis=-1, keepdims=True) * 2.0
+
+    image = jnp.asarray(np.random.RandomState(0).rand(300, 280, 3).astype(np.float32))
+    out = dist.tiled_apply_sharded(
+        model, image, mesh, tile_size=128, tile_step=64, weight="pyramid", batch_size=2
+    )
+    expected = np.asarray(model(image[None]))[0]
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
+
+
+def test_tiled_apply_sharded_mean_weight():
+    mesh = dist.make_mesh(jax.devices(), data_parallel=4, spatial_parallel=2)
+
+    def model(x):
+        return x * 1.0
+
+    image = jnp.asarray(np.random.RandomState(1).rand(200, 200, 2).astype(np.float32))
+    out = dist.tiled_apply_sharded(
+        model, image, mesh, tile_size=64, tile_step=32, weight="mean", batch_size=2
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(image), atol=1e-4)

@@ -313,3 +313,34 @@ def test_python_utils():
     assert U.without({"a": 1, "b": 2}, "a") == {"b": 2}
     assert U.as_tuple_of_two(512) == (512, 512)
     assert U.as_tuple_of_two((1, 2)) == (1, 2)
+
+
+# --- profiling & checkpoint ---------------------------------------------------
+
+
+def test_benchmark_and_timer():
+    f = jax.jit(lambda x: x * 2)
+    x = jnp.ones((128, 128))
+    stats = U.benchmark(f, x, iters=3, warmup=1)
+    assert stats["mean_s"] > 0 and stats["best_s"] <= stats["mean_s"]
+    with U.Timer() as t:
+        pass
+    assert t.elapsed >= 0
+
+
+def test_describe_compile():
+    f = lambda a, b: a @ b
+    a = jnp.ones((64, 64))
+    stats = U.describe_compile(f, a, a)
+    assert "flops" in stats
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)}, "step": jnp.asarray(7)}
+    path = str(tmp_path / "ckpt")
+    U.save_checkpoint(path, state)
+    assert U.checkpoint_exists(path)
+    restored = U.load_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), np.asarray(state["params"]["w"]))
+    assert int(np.asarray(restored["step"])) == 7
