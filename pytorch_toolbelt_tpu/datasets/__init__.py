@@ -8,3 +8,4 @@ from .segmentation import (
     read_binary_mask,
 )
 from .wrappers import RandomSubsetDataset, RandomSubsetWithMaskDataset
+from .collate import default_collate, get_collate_for_dataset

@@ -271,13 +271,15 @@ class TileMerger:
     Accepts NHWC tile batches + (x, y, w, h) crop coords from ImageSlicer.
     """
 
-    def __init__(self, image_shape, channels: int, weight: np.ndarray, dtype=jnp.float32):
+    def __init__(self, image_shape, channels: int, weight: np.ndarray, dtype=jnp.float32,
+                 use_pallas: bool = False):
         self.image_height = int(image_shape[0])
         self.image_width = int(image_shape[1])
         self.channels = int(channels)
         self.weight = jnp.asarray(weight, dtype=dtype)[..., None]  # [th, tw, 1]
         self.image = jnp.zeros((self.image_height, self.image_width, channels), dtype=dtype)
         self.norm_mask = jnp.zeros((self.image_height, self.image_width, 1), dtype=dtype)
+        self.use_pallas = use_pallas
 
     def accumulate_single(self, tile: jnp.ndarray, coords) -> None:
         """tile [th, tw, C]; coords (x, y, w, h)."""
@@ -289,10 +291,24 @@ class TileMerger:
             raise ValueError("Number of images in batch does not correspond to number of coordinates")
         batch = jnp.asarray(batch, dtype=self.image.dtype)
         coords = np.asarray(crop_coords)
-        coords_yx = jnp.asarray(coords[:, [1, 0]], dtype=jnp.int32)
-        self.image, self.norm_mask = accumulate_tiles(
-            self.image, self.norm_mask, batch, coords_yx, self.weight
-        )
+        coords_yx_np = coords[:, [1, 0]].astype(np.int32)
+        coords_yx = jnp.asarray(coords_yx_np)
+        if self.use_pallas:
+            from ..ops.tile_merge import pallas_accumulate_tiles, pallas_merge_supported
+
+            th, tw = batch.shape[1], batch.shape[2]
+            if not pallas_merge_supported(coords_yx_np, th, tw, self.channels, 1):
+                raise ValueError(
+                    "Tile geometry does not satisfy Pallas DMA alignment; "
+                    "use the default XLA merge path"
+                )
+            self.image, self.norm_mask = pallas_accumulate_tiles(
+                self.image, self.norm_mask, batch, coords_yx, self.weight
+            )
+        else:
+            self.image, self.norm_mask = accumulate_tiles(
+                self.image, self.norm_mask, batch, coords_yx, self.weight
+            )
 
     def merge(self) -> jnp.ndarray:
         return self.image / self.norm_mask

@@ -3,16 +3,25 @@ full-resolution canvas (the hot loop of huge-image tiled inference —
 reference TileMerger.integrate_batch, tiles.py:321-339).
 
 Design:
-* The canvas and norm mask stay in HBM (ANY); each grid step DMAs the
-  tile-sized region into VMEM scratch, fuses ``region + tile * weight``
-  (and ``norm + weight``) on the VPU, and DMAs it back.
-* The tile batch is auto-pipelined into VMEM by the block spec.
-* Tile coordinates arrive via scalar prefetch (SMEM) so the DMA addresses
-  are known ahead of the body.
+* Mosaic requires HBM DMA slices to be lane-aligned (last dim multiple of
+  128), so the NHWC canvas [H, W, C] is viewed as [H, W*C] (a free row-major
+  reshape) and tiles as [N, th, tw*C]; column offsets become x*C.
+* Each grid step DMAs the tile-sized canvas region into VMEM scratch, fuses
+  ``region + tile * weight`` (and ``norm + weight``) on the VPU, and DMAs it
+  back. Tile rows are auto-pipelined into VMEM by the block spec.
+* Tile coordinates arrive via scalar prefetch (SMEM).
 * TPU grid steps execute sequentially, so overlapping tiles accumulate
   correctly without atomics.
 
-Falls back to interpreter mode off-TPU (tests run it on CPU).
+Use :func:`pallas_merge_supported` to check the alignment constraints;
+interpret mode runs anywhere (tests use it on CPU).
+
+Measured on v5e (49 x 256^2x4 tiles, step 128): bit-exact vs the XLA
+scan-of-DUS path, ~2x slower (19.9 ms vs 9.6 ms) because overlapping tiles
+forbid naive double-buffering of the canvas read-modify-write. The XLA path
+therefore remains the default in inference.TileMerger; this kernel is the
+explicit opt-in (use_pallas=True) and the base for a future
+dependency-aware double-buffered version.
 """
 
 from functools import partial
@@ -29,25 +38,51 @@ try:
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
-__all__ = ["pallas_accumulate_tiles", "pallas_available"]
+__all__ = ["pallas_accumulate_tiles", "pallas_available", "pallas_merge_supported"]
+
+_LANE = 128
+_SUBLANE = 8
 
 
 def pallas_available() -> bool:
     return _PALLAS_OK
 
 
-def _merge_kernel(th, tw, c,
-                  coords_ref, tiles_ref, weight_ref, canvas_in, norm_in,
+def pallas_merge_supported(
+    coords_yx: np.ndarray, tile_h: int, tile_w: int, channels: int, norm_channels: int = 1
+) -> bool:
+    """True when the tile geometry satisfies Mosaic DMA alignment in the
+    flattened [H, W*C] view: row offsets & tile height multiples of 8,
+    (col offset * C) and (tile_w * C) multiples of 128 for both the canvas
+    (C) and the norm mask (norm_channels)."""
+    if not _PALLAS_OK:
+        return False
+    coords = np.asarray(coords_yx)
+    for c in (channels, norm_channels):
+        if (tile_w * c) % _LANE:
+            return False
+        if ((coords[:, 1] * c) % _LANE).any():
+            return False
+    if tile_h % _SUBLANE or (coords[:, 0] % _SUBLANE).any():
+        return False
+    return True
+
+
+def _merge_kernel(th, twc, tw_norm,
+                  coords_ref, tiles_ref, weight_ref, weight_norm_ref, canvas_in, norm_in,
                   canvas_ref, norm_ref, scratch, nscratch, sems):
     i = pl.program_id(0)
-    y = coords_ref[i, 0]
-    x = coords_ref[i, 1]
+    # alignment guaranteed by pallas_merge_supported(); the hints let Mosaic
+    # prove the dynamic DMA offsets divide the (8, 128) tiling
+    y = pl.multiple_of(coords_ref[i, 0], _SUBLANE)
+    xc = pl.multiple_of(coords_ref[i, 1], _LANE)   # col offset * C  (canvas view)
+    xn = pl.multiple_of(coords_ref[i, 2], _LANE)   # col offset * Cn (norm view)
 
     canvas_dma_in = pltpu.make_async_copy(
-        canvas_ref.at[pl.ds(y, th), pl.ds(x, tw), :], scratch, sems.at[0]
+        canvas_ref.at[pl.ds(y, th), pl.ds(xc, twc)], scratch, sems.at[0]
     )
     norm_dma_in = pltpu.make_async_copy(
-        norm_ref.at[pl.ds(y, th), pl.ds(x, tw), :], nscratch, sems.at[1]
+        norm_ref.at[pl.ds(y, th), pl.ds(xn, tw_norm)], nscratch, sems.at[1]
     )
     canvas_dma_in.start()
     norm_dma_in.start()
@@ -55,13 +90,13 @@ def _merge_kernel(th, tw, c,
     norm_dma_in.wait()
 
     scratch[:] = scratch[:] + tiles_ref[0] * weight_ref[:]
-    nscratch[:] = nscratch[:] + weight_ref[:, :, :1]
+    nscratch[:] = nscratch[:] + weight_norm_ref[:]
 
     canvas_dma_out = pltpu.make_async_copy(
-        scratch, canvas_ref.at[pl.ds(y, th), pl.ds(x, tw), :], sems.at[0]
+        scratch, canvas_ref.at[pl.ds(y, th), pl.ds(xc, twc)], sems.at[0]
     )
     norm_dma_out = pltpu.make_async_copy(
-        nscratch, norm_ref.at[pl.ds(y, th), pl.ds(x, tw), :], sems.at[1]
+        nscratch, norm_ref.at[pl.ds(y, th), pl.ds(xn, tw_norm)], sems.at[1]
     )
     canvas_dma_out.start()
     norm_dma_out.start()
@@ -70,56 +105,85 @@ def _merge_kernel(th, tw, c,
 
 
 @partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0, 1))
-def pallas_accumulate_tiles(canvas, norm_mask, tiles, coords_yx, weight, interpret=False):
-    """Weighted scatter-add of tiles into canvas via a Pallas TPU kernel.
-
-    Args:
-        canvas: [H, W, C] accumulator (donated).
-        norm_mask: [H, W, 1] weight accumulator (donated).
-        tiles: [N, th, tw, C] predictions.
-        coords_yx: [N, 2] int32 (row, col) offsets into the canvas.
-        weight: [th, tw, C-broadcastable] blending window (use [th, tw, 1]
-            broadcast to C before the call for best layout).
-
-    Returns:
-        (canvas, norm_mask) with all tiles accumulated.
-    """
-    n, th, tw, c = tiles.shape
-    weight = jnp.broadcast_to(weight, (th, tw, c)).astype(canvas.dtype)
+def _pallas_merge_2d(canvas2d, norm2d, tiles2d, coords, weight2d, weight_norm2d, interpret=False):
+    """canvas2d [H, W*C], norm2d [H, W*Cn], tiles2d [N, th, tw*C],
+    coords [N, 3] = (row, col*C, col*Cn), weight2d [th, tw*C],
+    weight_norm2d [th, tw*Cn]."""
+    n, th, twc = tiles2d.shape
+    tw_norm = weight_norm2d.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, th, tw, c), lambda i, coords: (i, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # weight window
-            pl.BlockSpec(memory_space=pl.ANY),   # canvas (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),   # norm mask (HBM)
+            pl.BlockSpec((1, th, twc), lambda i, coords: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # canvas weight window
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # norm weight window
+            pl.BlockSpec(memory_space=pl.ANY),      # canvas (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # norm mask (HBM)
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((th, tw, c), canvas.dtype),
-            pltpu.VMEM((th, tw, 1), canvas.dtype),
+            pltpu.VMEM((th, twc), canvas2d.dtype),
+            pltpu.VMEM((th, tw_norm), canvas2d.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    kernel = partial(_merge_kernel, th, tw, c)
+    kernel = partial(_merge_kernel, th, twc, tw_norm)
 
-    canvas, norm_mask = pl.pallas_call(
+    canvas2d, norm2d = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct(canvas.shape, canvas.dtype),
-            jax.ShapeDtypeStruct(norm_mask.shape, norm_mask.dtype),
+            jax.ShapeDtypeStruct(canvas2d.shape, canvas2d.dtype),
+            jax.ShapeDtypeStruct(norm2d.shape, norm2d.dtype),
         ],
-        # operand order: (coords, tiles, weight, canvas, norm); alias
-        # canvas->out0 and norm->out1 for in-place accumulation
-        input_output_aliases={3: 0, 4: 1},
+        # operand order: (coords, tiles, weight, weight_norm, canvas, norm);
+        # alias canvas->out0 and norm->out1 for in-place accumulation
+        input_output_aliases={4: 0, 5: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(coords_yx, tiles, weight, canvas, norm_mask)
-    return canvas, norm_mask
+    )(coords, tiles2d, weight2d, weight_norm2d, canvas2d, norm2d)
+    return canvas2d, norm2d
+
+
+def pallas_accumulate_tiles(canvas, norm_mask, tiles, coords_yx, weight, interpret=False):
+    """Weighted scatter-add of tiles into canvas via the Pallas TPU kernel.
+
+    Args:
+        canvas: [H, W, C] accumulator (donated).
+        norm_mask: [H, W, Cn] weight accumulator (Cn typically 1; donated).
+        tiles: [N, th, tw, C] predictions.
+        coords_yx: [N, 2] int32 (row, col) offsets into the canvas.
+        weight: [th, tw, 1]-broadcastable blending window.
+
+    Returns:
+        (canvas, norm_mask) with all tiles accumulated.
+
+    Check :func:`pallas_merge_supported` first; misaligned geometries must
+    use the XLA path (inference.tiles.accumulate_tiles).
+    """
+    n, th, tw, c = tiles.shape
+    h, w, _ = canvas.shape
+    cn = norm_mask.shape[-1]
+    weight_full = jnp.broadcast_to(jnp.asarray(weight), (th, tw, c)).astype(canvas.dtype)
+    weight_norm = jnp.broadcast_to(jnp.asarray(weight), (th, tw, cn)).astype(canvas.dtype)
+
+    coords = jnp.stack(
+        [coords_yx[:, 0], coords_yx[:, 1] * c, coords_yx[:, 1] * cn], axis=1
+    ).astype(jnp.int32)
+
+    canvas2d, norm2d = _pallas_merge_2d(
+        canvas.reshape(h, w * c),
+        norm_mask.reshape(h, w * cn),
+        tiles.reshape(n, th, tw * c),
+        coords,
+        weight_full.reshape(th, tw * c),
+        weight_norm.reshape(th, tw * cn),
+        interpret=interpret,
+    )
+    return canvas2d.reshape(h, w, c), norm2d.reshape(h, w, cn)

@@ -67,6 +67,8 @@ from .encoders.xresnet import (
     xresnet101_encoder,
     xresnet152_encoder,
 )
+from .encoders.res2net import Res2NetEncoder, res2net50_encoder, res2net101_encoder, res2next50_encoder
+from .encoders.dpn import DPNEncoder, dpn68_encoder, dpn92_encoder
 from .encoders.resnet import (
     ResNetEncoder,
     resnet18_encoder,
@@ -95,9 +97,21 @@ from .heads.hypercolumn import HypercolumnHead
 from .heads.progressive_shuffle import ProgressiveShuffleHead
 from .heads.resize import ResizeHead
 from .heads.segformer import SegFormerHead
+from .decoders.ppm import PPMDecoder
+from .porting import convert_torch_tensor, port_torch_state_dict
 from .models import EncoderDecoderModel, UNetSegmentationModel
 
 __all__ = [
+    "DPNEncoder",
+    "Res2NetEncoder",
+    "dpn68_encoder",
+    "dpn92_encoder",
+    "res2net50_encoder",
+    "res2net101_encoder",
+    "res2next50_encoder",
+    "PPMDecoder",
+    "convert_torch_tensor",
+    "port_torch_state_dict",
     "DenseNetEncoder",
     "EfficientNetEncoder",
     "HRNetEncoder",

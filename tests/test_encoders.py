@@ -107,3 +107,19 @@ def test_encoders_layer_subsets():
         encoder = factory(layers=(1, 2, 3, 4))
         maps = run_encoder(encoder, size=64)
         assert len(maps) == 4
+
+
+def test_res2net50():
+    run_encoder(zoo.res2net50_encoder(), size=64)
+
+
+def test_res2next50():
+    run_encoder(zoo.res2next50_encoder(), size=64)
+
+
+def test_dpn92():
+    run_encoder(zoo.dpn92_encoder(), size=64)
+
+
+def test_dpn68():
+    run_encoder(zoo.dpn68_encoder(), size=64)

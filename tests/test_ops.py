@@ -38,3 +38,40 @@ def test_pallas_tile_merge_matches_xla():
     merged = np.asarray(canvas_p / jnp.maximum(norm_p, 1e-8))
     merged = tiler.crop_to_orignal_size(merged)
     np.testing.assert_allclose(merged, image, atol=1e-4)
+
+
+def test_pallas_merge_supported_alignment():
+    from pytorch_toolbelt_tpu.ops import pallas_merge_supported
+
+    good = np.array([[0, 0], [128, 256], [8, 128]], dtype=np.int32)
+    assert pallas_merge_supported(good, tile_h=256, tile_w=256, channels=1)
+    # misaligned row offset
+    bad_row = np.array([[3, 0]], dtype=np.int32)
+    assert not pallas_merge_supported(bad_row, 256, 256, 1)
+    # col*C not lane aligned
+    bad_col = np.array([[0, 64]], dtype=np.int32)
+    assert not pallas_merge_supported(bad_col, 256, 256, 1)
+    # but fine when channels=4 makes 64*4=256 lane-aligned... (needs tw*1 aligned too)
+    assert not pallas_merge_supported(bad_col, 256, 250, 4)
+
+
+def test_tile_merger_pallas_path_interpret():
+    """TileMerger(use_pallas=True) path via interpret-mode kernel on CPU."""
+    import pytorch_toolbelt_tpu.ops.tile_merge as tm
+    from pytorch_toolbelt_tpu.inference import ImageSlicer, TileMerger
+    from functools import partial
+
+    rng = np.random.RandomState(0)
+    image = rng.rand(512, 512, 1).astype(np.float32)
+    tiler = ImageSlicer(image.shape, tile_size=(128, 128), tile_step=(128, 128), weight="mean")
+    tiles = np.stack(tiler.split(image))
+
+    orig = tm.pallas_accumulate_tiles
+    tm.pallas_accumulate_tiles = partial(orig, interpret=True)
+    try:
+        merger = TileMerger(tiler.target_shape, 1, tiler.weight, use_pallas=True)
+        merger.integrate_batch(jnp.asarray(tiles), tiler.crops)
+        merged = tiler.crop_to_orignal_size(np.asarray(merger.merge()))
+        np.testing.assert_allclose(merged, image, atol=1e-5)
+    finally:
+        tm.pallas_accumulate_tiles = orig

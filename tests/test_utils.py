@@ -344,3 +344,28 @@ def test_checkpoint_roundtrip(tmp_path):
     restored = U.load_checkpoint(path)
     np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), np.asarray(state["params"]["w"]))
     assert int(np.asarray(restored["step"])) == 7
+
+
+def test_default_collate_and_discovery():
+    samples = [
+        {"image": np.zeros((4, 4, 3)), "label": 1, "id": "a"},
+        {"image": np.ones((4, 4, 3)), "label": 2, "id": "b"},
+    ]
+    batch = D.default_collate(samples)
+    assert batch["image"].shape == (2, 4, 4, 3)
+    assert batch["label"].tolist() == [1, 2]
+    assert batch["id"] == ["a", "b"]
+
+    class WithCollate:
+        def get_collate_fn(self):
+            return lambda b: "custom"
+
+    assert D.get_collate_for_dataset(WithCollate())([1]) == "custom"
+    assert D.get_collate_for_dataset(object()) is D.default_collate
+
+    class Concat:
+        datasets = [WithCollate(), WithCollate()]
+
+    # different lambda instances -> inconsistent
+    with pytest.raises(ValueError):
+        D.get_collate_for_dataset(Concat())

@@ -173,3 +173,55 @@ def test_encoder_decoder_head_composition():
     variables = model.init(KEY, x)
     out = jax.jit(lambda v, x: model.apply(v, x))(variables, x)
     assert out.shape == (1, 64, 64, 4)
+
+
+def test_ppm_decoder():
+    spec, maps = _dummy_spec_and_maps(channels=(16, 32, 64, 128), strides=(4, 8, 16, 32), size=96)
+    outs = _run_decoder(zoo.PPMDecoder(input_spec=spec, out_channels=64, pool_sizes=(1, 3)), maps)
+    assert len(outs) == 1 and outs[0].shape[-1] == 64
+
+
+def test_port_torch_state_dict():
+    torch = pytest.importorskip("torch")
+    import flax.linen as fnn
+
+    class Tiny(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, training=False):
+            x = fnn.Conv(8, (3, 3), padding="SAME")(x)
+            x = fnn.BatchNorm(use_running_average=not training)(x)
+            x = x.mean(axis=(1, 2))
+            return fnn.Dense(4)(x)
+
+    model = Tiny()
+    variables = model.init(KEY, jnp.zeros((1, 8, 8, 3)))
+
+    tmodel = torch.nn.Sequential(
+        torch.nn.Conv2d(3, 8, 3, padding=1),
+        torch.nn.BatchNorm2d(8),
+    )
+    tlinear = torch.nn.Linear(8, 4)
+    sd = {**{f"0.{k}": v for k, v in tmodel[0].state_dict().items()},
+          **{f"1.{k}": v for k, v in tmodel[1].state_dict().items()},
+          **{f"fc.{k}": v for k, v in tlinear.state_dict().items()}}
+
+    mapping = {
+        ("params", "Conv_0", "kernel"): "0.weight",
+        ("params", "Conv_0", "bias"): "0.bias",
+        ("params", "BatchNorm_0", "scale"): "1.weight",
+        ("params", "BatchNorm_0", "bias"): "1.bias",
+        ("batch_stats", "BatchNorm_0", "mean"): "1.running_mean",
+        ("batch_stats", "BatchNorm_0", "var"): "1.running_var",
+        ("params", "Dense_0", "kernel"): "fc.weight",
+        ("params", "Dense_0", "bias"): "fc.bias",
+    }
+    ported = zoo.port_torch_state_dict(variables, sd, mapping)
+
+    # numerical equivalence: same input -> same output (eval mode)
+    x = np.random.RandomState(0).rand(2, 8, 8, 3).astype(np.float32)
+    mine = np.asarray(model.apply(ported, jnp.asarray(x)))
+    with torch.no_grad():
+        tmodel.eval()
+        feats = tmodel(torch.tensor(np.moveaxis(x, -1, 1)))
+        ref = tlinear(feats.mean(dim=(2, 3))).numpy()
+    np.testing.assert_allclose(mine, ref, atol=1e-5)
