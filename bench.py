@@ -40,7 +40,7 @@ ASSUMED_H100_PYTORCH_MPS = 8.0
 IMAGE_SIZE = 5000
 TILE_SIZE = 512
 TILE_STEP = 256
-BATCH = 8
+BATCH = 16
 
 
 def main():

@@ -11,6 +11,7 @@ Model wrappers (GeneralizedTTA / MultiscaleTTA) take a plain callable
 ``lambda x: model.apply(variables, x)``.
 """
 
+from functools import partial
 from typing import Callable, Dict, List, Optional, Tuple, Union
 
 import jax.numpy as jnp
@@ -20,6 +21,7 @@ from . import functional as F
 
 __all__ = [
     "GeneralizedTTA",
+    "TTAWrapper",
     "MultiscaleTTA",
     "d2_image_augment",
     "d2_labels_augment",
@@ -447,3 +449,22 @@ class MultiscaleTTA:
             values = [out[key] for out in ms_outputs]
             outputs[key] = self.deaugment_fn[key](values, size_offsets=self.size_offsets)
         return outputs
+
+
+class TTAWrapper:
+    """Deprecated partial-application wrapper (reference tta.py:584-592).
+    Use GeneralizedTTA instead."""
+
+    def __init__(self, model_fn: Callable, tta_function: Callable, **kwargs):
+        import warnings
+
+        warnings.warn(
+            "TTAWrapper is deprecated. Please use GeneralizedTTA instead",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        self.model_fn = model_fn
+        self.tta = partial(tta_function, **kwargs)
+
+    def __call__(self, *input):
+        return self.tta(self.model_fn, *input)

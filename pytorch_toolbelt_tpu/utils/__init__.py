@@ -27,6 +27,8 @@ from .python_utils import as_tuple_of_two, load_yaml, maybe_eval, without
 from .random_utils import get_rng_state, set_manual_seed, set_rng_state
 from .rle import rle_decode, rle_encode, rle_to_string
 from .tensor import (
+    argmax_over,
+    softmax_over,
     count_parameters,
     describe_outputs,
     image_to_tensor,

@@ -171,3 +171,13 @@ def sigmoid_with_threshold(x: jnp.ndarray, threshold: float = 0.5, dtype=jnp.flo
 def move_to_device(x, device, non_blocking: bool = False):
     """Recursively device_put nested containers (reference torch_utils.py:344-361)."""
     return jax.tree_util.tree_map(lambda leaf: jax.device_put(leaf, device), x)
+
+
+def softmax_over(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Softmax helper (reference torch_utils dim helpers)."""
+    return jax.nn.softmax(x, axis=axis)
+
+
+def argmax_over(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Argmax helper (reference torch_utils dim helpers)."""
+    return jnp.argmax(x, axis=axis)

@@ -3,7 +3,7 @@ from .decoders.can import CANDecoder
 from .decoders.deeplab import DeeplabV3Decoder, DeeplabV3PlusDecoder
 from .decoders.fpn import FPNDecoder
 from .decoders.unet import UNetDecoder
-from .encoders.common import EncoderBase, change_stem_input_channels, make_n_channel_input_kernel
+from .encoders.common import EncoderBase, GenericEncoder, change_stem_input_channels, make_n_channel_input_kernel
 from .encoders.densenet import (
     DenseNetEncoder,
     densenet121_encoder,
@@ -69,6 +69,9 @@ from .encoders.xresnet import (
 )
 from .encoders.res2net import Res2NetEncoder, res2net50_encoder, res2net101_encoder, res2next50_encoder
 from .encoders.dpn import DPNEncoder, dpn68_encoder, dpn92_encoder
+from .encoders.efficientnet_v2 import EfficientNetV2Encoder, efficientnet_v2_m_encoder, efficientnet_v2_s_encoder
+from .encoders.nfnet import NFNetEncoder, nf_regnet_b0_encoder, nfnet_f0_encoder, nfnet_f1_encoder
+from .encoders.skresnet import SKResNetEncoder, skresnet18_encoder, skresnet34_encoder, skresnet50_encoder
 from .encoders.resnet import (
     ResNetEncoder,
     resnet18_encoder,
@@ -102,6 +105,18 @@ from .porting import convert_torch_tensor, port_torch_state_dict
 from .models import EncoderDecoderModel, UNetSegmentationModel
 
 __all__ = [
+    "GenericEncoder",
+    "SKResNetEncoder",
+    "skresnet18_encoder",
+    "skresnet34_encoder",
+    "skresnet50_encoder",
+    "EfficientNetV2Encoder",
+    "NFNetEncoder",
+    "efficientnet_v2_m_encoder",
+    "efficientnet_v2_s_encoder",
+    "nf_regnet_b0_encoder",
+    "nfnet_f0_encoder",
+    "nfnet_f1_encoder",
     "DPNEncoder",
     "Res2NetEncoder",
     "dpn68_encoder",

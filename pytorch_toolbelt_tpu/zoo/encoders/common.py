@@ -70,3 +70,24 @@ def change_stem_input_channels(variables, stem_kernel_path: Sequence[str], in_ch
     new_vars = dict(variables)
     new_vars["params"] = params
     return new_vars
+
+
+class GenericEncoder(EncoderBase):
+    """Wrap any feature-extractor module into the encoder contract — the
+    analogue of the reference's GenericTimmEncoder (timm/common.py:13-39),
+    which adapted arbitrary timm backbones via their feature_info.
+
+    Args:
+        backbone: a flax module whose __call__(x, training=...) returns a
+            list of NHWC feature maps fine -> coarse.
+        spec: the FeatureMapsSpec describing those maps.
+    """
+
+    backbone: Any = None
+    spec: "FeatureMapsSpec" = None
+
+    def get_output_spec(self) -> FeatureMapsSpec:
+        return self.spec
+
+    def __call__(self, x, training: bool = False):
+        return self.backbone(x, training=training)

@@ -123,3 +123,23 @@ def test_dpn92():
 
 def test_dpn68():
     run_encoder(zoo.dpn68_encoder(), size=64)
+
+
+def test_efficientnet_v2_s():
+    run_encoder(zoo.efficientnet_v2_s_encoder(), size=64)
+
+
+def test_nfnet_f0():
+    run_encoder(zoo.nfnet_f0_encoder(), size=64)
+
+
+def test_nf_regnet_b0():
+    run_encoder(zoo.nf_regnet_b0_encoder(), size=64)
+
+
+def test_skresnet18():
+    run_encoder(zoo.skresnet18_encoder(), size=64)
+
+
+def test_skresnet50():
+    run_encoder(zoo.skresnet50_encoder(), size=64)
