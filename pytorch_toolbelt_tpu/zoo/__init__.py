@@ -49,7 +49,11 @@ from .encoders.swin import (
     swin_tiny_encoder,
 )
 from .encoders.wide_resnet import (
+    WiderResNetA2Encoder,
     WiderResNetEncoder,
+    wider_resnet16_a2_encoder,
+    wider_resnet20_a2_encoder,
+    wider_resnet38_a2_encoder,
     wider_resnet16_encoder,
     wider_resnet20_encoder,
     wider_resnet38_encoder,
@@ -72,6 +76,8 @@ from .encoders.dpn import DPNEncoder, dpn68_encoder, dpn92_encoder
 from .encoders.efficientnet_v2 import EfficientNetV2Encoder, efficientnet_v2_m_encoder, efficientnet_v2_s_encoder
 from .encoders.nfnet import NFNetEncoder, nf_regnet_b0_encoder, nfnet_f0_encoder, nfnet_f1_encoder
 from .encoders.skresnet import SKResNetEncoder, skresnet18_encoder, skresnet34_encoder, skresnet50_encoder
+from .encoders.maxvit import MaxViTEncoder, maxvit_small_encoder, maxvit_tiny_encoder
+from .encoders.tresnet import TResNetEncoder, tresnet_l_encoder, tresnet_m_encoder, tresnet_xl_encoder
 from .encoders.resnet import (
     ResNetEncoder,
     resnet18_encoder,
@@ -105,6 +111,17 @@ from .porting import convert_torch_tensor, port_torch_state_dict
 from .models import EncoderDecoderModel, UNetSegmentationModel
 
 __all__ = [
+    "WiderResNetA2Encoder",
+    "wider_resnet16_a2_encoder",
+    "wider_resnet20_a2_encoder",
+    "wider_resnet38_a2_encoder",
+    "MaxViTEncoder",
+    "TResNetEncoder",
+    "maxvit_small_encoder",
+    "maxvit_tiny_encoder",
+    "tresnet_l_encoder",
+    "tresnet_m_encoder",
+    "tresnet_xl_encoder",
     "GenericEncoder",
     "SKResNetEncoder",
     "skresnet18_encoder",

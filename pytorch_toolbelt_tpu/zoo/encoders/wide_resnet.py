@@ -3,6 +3,14 @@ modules/encoders/wide_resnet.py:19-165 + modules/backbone/wider_resnet.py).
 
 Pre-activation identity-residual blocks; channels per module
 (64, 128, 256, 512, 1024, 2048, 4096) at strides (1, 2, 4, 8, 16, 32, 32).
+
+Two downsampling policies, selected by ``a2``:
+
+* base: max-pool before each of modules 2..6 (reference WiderResNet).
+* a2:   max-pool before modules 2-3, average-pool entering modules 4-6
+        (the smooth-downsampling flavor of the reference's WiderResNetA2;
+        the original's dilated final modules are not reproduced — strides
+        match the reference encoder's advertised (…, 32, 32)).
 """
 
 from typing import List, Optional, Tuple
@@ -17,9 +25,13 @@ from .common import EncoderBase
 
 __all__ = [
     "WiderResNetEncoder",
+    "WiderResNetA2Encoder",
     "wider_resnet16_encoder",
     "wider_resnet20_encoder",
     "wider_resnet38_encoder",
+    "wider_resnet16_a2_encoder",
+    "wider_resnet20_a2_encoder",
+    "wider_resnet38_a2_encoder",
 ]
 
 # channel tuples per module; 3-tuple means bottleneck block
@@ -62,6 +74,7 @@ class IdentityResidualBlock(nn.Module):
 class WiderResNetEncoder(EncoderBase):
     structure: Tuple[int, ...] = (1, 1, 1, 1, 1, 1)
     activation: str = ACT_RELU
+    a2: bool = False
     layers: Optional[Tuple[int, ...]] = None
 
     def get_output_spec(self) -> FeatureMapsSpec:
@@ -79,8 +92,13 @@ class WiderResNetEncoder(EncoderBase):
         outputs.append(x)
 
         for module_index, (num_blocks, channels) in enumerate(zip(self.structure, _MODULE_CHANNELS)):
-            if module_index < 5:  # pool before modules 2..6 (stride caps at 32)
-                x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+            # 5 downsamples total (final stride 32); the a2 flavor smooths
+            # modules 4-6 with average pooling instead of max pooling
+            if module_index < 5:
+                if self.a2 and module_index >= 2:
+                    x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+                else:
+                    x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
             for _ in range(num_blocks):
                 x = IdentityResidualBlock(channels, activation=self.activation)(x, training=training)
             outputs.append(x)
@@ -88,6 +106,11 @@ class WiderResNetEncoder(EncoderBase):
         if self.layers is not None:
             outputs = [outputs[i] for i in self.layers]
         return outputs
+
+
+def WiderResNetA2Encoder(**kwargs) -> WiderResNetEncoder:
+    """A2-flavor factory (see module docstring)."""
+    return WiderResNetEncoder(a2=True, **kwargs)
 
 
 def wider_resnet16_encoder(**kwargs):
@@ -100,3 +123,15 @@ def wider_resnet20_encoder(**kwargs):
 
 def wider_resnet38_encoder(**kwargs):
     return WiderResNetEncoder(structure=(3, 3, 6, 3, 1, 1), **kwargs)
+
+
+def wider_resnet16_a2_encoder(**kwargs):
+    return WiderResNetEncoder(structure=(1, 1, 1, 1, 1, 1), a2=True, **kwargs)
+
+
+def wider_resnet20_a2_encoder(**kwargs):
+    return WiderResNetEncoder(structure=(1, 1, 1, 3, 1, 1), a2=True, **kwargs)
+
+
+def wider_resnet38_a2_encoder(**kwargs):
+    return WiderResNetEncoder(structure=(3, 3, 6, 3, 1, 1), a2=True, **kwargs)

@@ -143,3 +143,15 @@ def test_skresnet18():
 
 def test_skresnet50():
     run_encoder(zoo.skresnet50_encoder(), size=64)
+
+
+def test_maxvit_tiny():
+    run_encoder(zoo.maxvit_tiny_encoder(partition=4), size=128)
+
+
+def test_tresnet_m():
+    run_encoder(zoo.tresnet_m_encoder(), size=64)
+
+
+def test_wider_resnet_a2():
+    run_encoder(zoo.wider_resnet16_a2_encoder(layers=(1, 2, 3, 4, 5)), size=64)
