@@ -16,7 +16,7 @@ import numpy as np
 from jax import lax
 from functools import partial
 
-__all__ = ["VolumeSlicer", "VolumeMerger", "compute_pyramid_patch_weight_loss_3d"]
+__all__ = ["VolumeSlicer", "VolumeMerger", "compute_pyramid_patch_weight_loss_3d", "tiled_apply_3d"]
 
 
 def compute_pyramid_patch_weight_loss_3d(depth: int, height: int, width: int) -> np.ndarray:
@@ -198,3 +198,93 @@ class VolumeMerger:
     def merge_(self) -> jnp.ndarray:
         self.volume = self.volume / self.norm_mask
         return self.volume
+
+
+def tiled_apply_3d(
+    model_fn,
+    volume: jnp.ndarray,
+    voxel_size,
+    voxel_step,
+    weight: str = "pyramid",
+    batch_size: int = 2,
+    accumulator_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """3D analogue of inference.tiles.tiled_apply: run ``model_fn`` over
+    overlapping DHWC sub-volumes entirely on device and return the merged
+    full-resolution prediction.
+
+    Args:
+        model_fn: [B, d, h, w, C] -> [B, d, h, w, K], shape-preserving.
+        volume: [D, H, W, C] array.
+
+    Returns:
+        [D, H, W, K] merged prediction.
+    """
+    d, h, w = (int(s) for s in volume.shape[:3])
+    slicer = VolumeSlicer((d, h, w), voxel_size, voxel_step, weight=weight)
+    td, th, tw = slicer.voxel_size
+    coords = slicer.crops
+    n_tiles = len(coords)
+
+    n_pad = (-n_tiles) % batch_size
+    coords_zyx = np.zeros((n_tiles + n_pad, 3), dtype=np.int32)
+    coords_zyx[:n_tiles] = coords[:, :3]
+    valid = np.zeros((n_tiles + n_pad,), dtype=np.float32)
+    valid[:n_tiles] = 1.0
+    num_batches = (n_tiles + n_pad) // batch_size
+
+    weight_np = slicer.weight.astype(np.float32)
+    norm = np.zeros(slicer.target_shape, dtype=np.float64)
+    for z, y, x, _, _, _ in coords:
+        norm[z : z + td, y : y + th, x : x + tw] += weight_np
+    norm = np.clip(norm, np.finfo(np.float64).eps, None).astype(np.float32)
+
+    probe = jax.eval_shape(
+        model_fn, jax.ShapeDtypeStruct((batch_size, td, th, tw, volume.shape[-1]), volume.dtype)
+    )
+    out_channels = probe.shape[-1]
+
+    coords_dev = jnp.asarray(coords_zyx.reshape(num_batches, batch_size, 3))
+    valid_dev = jnp.asarray(valid.reshape(num_batches, batch_size))
+    weight_dev = jnp.asarray(weight_np)[..., None]
+    inv_norm = jnp.asarray(1.0 / norm)[..., None]
+
+    pad_spec = [
+        (slicer.margin_front, slicer.margin_back),
+        (slicer.margin_top, slicer.margin_bottom),
+        (slicer.margin_left, slicer.margin_right),
+        (0, 0),
+    ]
+    tgt = slicer.target_shape
+
+    @jax.jit
+    def run(volume, coords_dev, valid_dev, weight_dev, inv_norm):
+        padded = jnp.pad(volume, pad_spec)
+        canvas = jnp.zeros(tgt + (out_channels,), dtype=accumulator_dtype)
+
+        def step(canvas, inp):
+            batch_coords, batch_valid = inp
+            tiles = jax.vmap(
+                lambda zyx: lax.dynamic_slice(
+                    padded, (zyx[0], zyx[1], zyx[2], 0), (td, th, tw, padded.shape[-1])
+                )
+            )(batch_coords)
+            preds = model_fn(tiles).astype(accumulator_dtype)
+
+            def inner(i, canvas):
+                z, y, x = batch_coords[i, 0], batch_coords[i, 1], batch_coords[i, 2]
+                region = lax.dynamic_slice(canvas, (z, y, x, 0), (td, th, tw, out_channels))
+                update = region + preds[i] * weight_dev * batch_valid[i]
+                return lax.dynamic_update_slice(canvas, update, (z, y, x, 0))
+
+            return lax.fori_loop(0, batch_size, inner, canvas), None
+
+        canvas, _ = lax.scan(step, canvas, (coords_dev, valid_dev))
+        return canvas * inv_norm
+
+    merged = run(jnp.asarray(volume), coords_dev, valid_dev, weight_dev, inv_norm)
+    return merged[
+        slicer.margin_front : slicer.margin_front + d,
+        slicer.margin_top : slicer.margin_top + h,
+        slicer.margin_left : slicer.margin_left + w,
+    ]

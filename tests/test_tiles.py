@@ -128,3 +128,15 @@ def test_volume_merger_roundtrip():
     merger.integrate_batch(jnp.asarray(tiles), slicer.crops)
     merged = slicer.crop_to_original_size(np.asarray(merger.merge()))
     np.testing.assert_allclose(merged, volume, atol=1e-4)
+
+
+def test_tiled_apply_3d():
+    from pytorch_toolbelt_tpu.inference import tiled_apply_3d
+
+    def model(v):  # [B,d,h,w,C] -> max channel
+        return jnp.max(v, axis=-1, keepdims=True)
+
+    volume = jnp.asarray(np.random.random((40, 48, 56, 3)).astype(np.float32))
+    out = tiled_apply_3d(model, volume, voxel_size=16, voxel_step=8, weight="pyramid", batch_size=2)
+    expected = np.asarray(model(volume[None]))[0]
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
