@@ -259,10 +259,19 @@ def _accumulate_scan(canvas, norm_mask, tiles, coords_yx, weight):
     return canvas, norm_mask
 
 
-def accumulate_tiles(canvas, norm_mask, tiles, coords_yx, weight):
+@jax.jit
+def _accumulate_scan_no_donate(canvas, norm_mask, tiles, coords_yx, weight):
+    return _accumulate_scan.__wrapped__(canvas, norm_mask, tiles, coords_yx, weight)
+
+
+def accumulate_tiles(canvas, norm_mask, tiles, coords_yx, weight, donate: bool = False):
     """Weighted overlap-add of a batch of tiles (functional; returns new
-    accumulators). See ``_accumulate_scan``."""
-    return _accumulate_scan(canvas, norm_mask, tiles, coords_yx, weight)
+    accumulators; the inputs stay valid). Pass ``donate=True`` to allow the
+    input buffers to be reused in place (the caller must not touch them
+    afterwards — this is what TileMerger does internally)."""
+    if donate:
+        return _accumulate_scan(canvas, norm_mask, tiles, coords_yx, weight)
+    return _accumulate_scan_no_donate(canvas, norm_mask, tiles, coords_yx, weight)
 
 
 class TileMerger:
@@ -306,8 +315,9 @@ class TileMerger:
                 self.image, self.norm_mask, batch, coords_yx, self.weight
             )
         else:
+            # donate=True: the old accumulators are reassigned immediately
             self.image, self.norm_mask = accumulate_tiles(
-                self.image, self.norm_mask, batch, coords_yx, self.weight
+                self.image, self.norm_mask, batch, coords_yx, self.weight, donate=True
             )
 
     def merge(self) -> jnp.ndarray:
@@ -361,9 +371,14 @@ def _get_tiled_plan(h, w, tile_size, tile_step, weight, batch_size):
     return slicer, coords_dev, valid_dev, weight_dev, inv_norm
 
 
-@lru_cache(maxsize=64)
+@lru_cache(maxsize=8)
 def _build_tiled_runner(model_fn, tgt_h, tgt_w, th, tw, out_channels, batch_size, acc_dtype):
-    """Compile (once per config) the pad->slice->model->merge program."""
+    """Compile (once per config) the pad->slice->model->merge program.
+
+    NOTE: keyed on ``model_fn`` identity (like jax.jit itself) — callers must
+    pass a STABLE callable; a fresh lambda per call forces a recompile.
+    maxsize is small because each entry pins the closure's parameters and a
+    compiled executable."""
 
     @jax.jit
     def run(padded, coords_dev, valid_dev, weight_dev, inv_norm):
@@ -411,7 +426,10 @@ def tiled_apply(
 
     Args:
         model_fn: maps [B, th, tw, C] -> [B, th, tw, K]. Must be shape-preserving
-            in the spatial dims.
+            in the spatial dims, and must be a STABLE callable (define it once
+            and reuse it across calls) — the compiled pipeline is cached on
+            its identity, exactly like jax.jit; a fresh lambda per call
+            recompiles everything.
         image: [H, W, C] array.
         weight: 'mean' | 'pyramid' | ndarray [th, tw].
 
@@ -436,12 +454,12 @@ def tiled_apply(
     padded = jnp.pad(image, pad_spec)
     tgt_h, tgt_w = slicer.target_shape
 
+    probe = jax.eval_shape(
+        model_fn, jax.ShapeDtypeStruct((batch_size, th, tw, image.shape[-1]), image.dtype)
+    )
+    out_dtype = probe.dtype
     if out_channels is None:
-        probe = jax.eval_shape(model_fn, jax.ShapeDtypeStruct((batch_size, th, tw, image.shape[-1]), image.dtype))
         out_channels = probe.shape[-1]
-        out_dtype = probe.dtype
-    else:
-        out_dtype = image.dtype
 
     runner = _build_tiled_runner(
         model_fn, tgt_h, tgt_w, th, tw, int(out_channels), batch_size, accumulator_dtype

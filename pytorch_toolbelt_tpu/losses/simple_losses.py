@@ -139,7 +139,10 @@ class SoftF1Loss:
         probs = jnp.clip(jax.nn.softmax(preds, axis=-1), self.eps, 1 - self.eps)
         targets_oh = jax.nn.one_hot(targets, preds.shape[-1], dtype=probs.dtype)
         if self.ignore_index is not None:
-            keep = (targets_oh != self.ignore_index).astype(probs.dtype)
+            # zero out whole ROWS whose integer label is ignored — masked
+            # entries then contribute nothing to tp/fp/fn, equivalent to the
+            # reference's dynamic row filtering (soft_f1.py:88-95)
+            keep = (targets != self.ignore_index).astype(probs.dtype)[..., None]
             probs = probs * keep
             targets_oh = targets_oh * keep
         return soft_micro_f1(probs, targets_oh)

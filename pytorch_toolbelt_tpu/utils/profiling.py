@@ -23,7 +23,9 @@ def trace(log_dir: str):
 
 
 class Timer:
-    """Wall-clock timer that synchronizes on device work."""
+    """Plain wall-clock timer. NOTE: jax dispatch is asynchronous — call
+    jax.block_until_ready(...) on your outputs inside the block, or use
+    :func:`benchmark`, to measure device execution rather than dispatch."""
 
     def __enter__(self):
         self.start = time.perf_counter()
@@ -46,9 +48,11 @@ def benchmark(
 
     Returns {'mean_s', 'best_s', 'iters'}.
     """
+    out = None
     for _ in range(warmup):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    if out is not None:
+        jax.block_until_ready(out)
 
     times = []
     for _ in range(iters):

@@ -498,3 +498,26 @@ def test_losses_are_jittable():
         assert np.isfinite(float(value))
         g = jax.jit(jax.grad(lambda p, t, loss=loss: loss(p, t)))(pred, tgt)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_soft_f1_ignore_index():
+    """ignore_index must mask whole rows by integer label. NOTE: the torch
+    reference's own SoftF1Loss crashes here (soft_f1.py:88 one-hots the raw
+    labels including -100 before filtering: 'Class values must be
+    non-negative'), so the oracle is computed manually per the documented
+    intent (drop ignored rows, then mean(1 - soft-F1))."""
+    logits = RNG.randn(12, 4).astype(np.float32)
+    target = RNG.randint(0, 4, size=(12,))
+    target[::4] = -100
+
+    mine = float(L.SoftF1Loss(ignore_index=-100)(jnp.asarray(logits), jnp.asarray(target)))
+
+    keep = target != -100
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits[keep]), axis=-1))
+    probs = np.clip(probs, 1e-6, 1 - 1e-6)
+    oh = np.eye(4)[target[keep]]
+    tp = (probs * oh).sum(0)
+    fp = (probs * (1 - oh)).sum(0)
+    fn = ((1 - probs) * oh).sum(0)
+    expected = float((1 - 2 * tp / (2 * tp + fn + fp + 1e-6)).mean())
+    assert mine == pytest.approx(expected, abs=2e-5)

@@ -140,3 +140,31 @@ def test_tiled_apply_3d():
     out = tiled_apply_3d(model, volume, voxel_size=16, voxel_step=8, weight="pyramid", batch_size=2)
     expected = np.asarray(model(volume[None]))[0]
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
+
+
+def test_tiled_apply_integer_image_keeps_float_output():
+    """Explicit out_channels must not cast float predictions to the input's
+    integer dtype."""
+
+    def model(x):
+        return jnp.full(x.shape[:3] + (3,), 0.5, jnp.float32)
+
+    image = jnp.asarray((np.random.random((96, 96, 3)) * 255).astype(np.uint8))
+    out = tiled_apply(model, image, tile_size=32, tile_step=16, out_channels=3, batch_size=4)
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-5)
+
+
+def test_accumulate_tiles_keeps_inputs_valid():
+    from pytorch_toolbelt_tpu.inference import accumulate_tiles
+
+    canvas = jnp.zeros((64, 64, 1))
+    norm = jnp.zeros((64, 64, 1))
+    tiles = jnp.ones((2, 32, 32, 1))
+    coords = jnp.asarray([[0, 0], [32, 32]], dtype=jnp.int32)
+    weight = jnp.ones((32, 32, 1))
+    c2, n2 = accumulate_tiles(canvas, norm, tiles, coords, weight)
+    # originals must remain usable (no donation by default)
+    assert float(canvas.sum()) == 0.0
+    c3, _ = accumulate_tiles(canvas, norm, tiles, coords, weight)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c3))

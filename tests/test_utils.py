@@ -369,3 +369,9 @@ def test_default_collate_and_discovery():
     # different lambda instances -> inconsistent
     with pytest.raises(ValueError):
         D.get_collate_for_dataset(Concat())
+
+
+def test_benchmark_zero_warmup():
+    f = jax.jit(lambda x: x + 1)
+    stats = U.benchmark(f, jnp.ones((8,)), iters=2, warmup=0)
+    assert stats["mean_s"] > 0
