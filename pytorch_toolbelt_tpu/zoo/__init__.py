@@ -78,6 +78,7 @@ from .encoders.nfnet import NFNetEncoder, nf_regnet_b0_encoder, nfnet_f0_encoder
 from .encoders.skresnet import SKResNetEncoder, skresnet18_encoder, skresnet34_encoder, skresnet50_encoder
 from .encoders.maxvit import MaxViTEncoder, maxvit_small_encoder, maxvit_tiny_encoder
 from .encoders.tresnet import TResNetEncoder, tresnet_l_encoder, tresnet_m_encoder, tresnet_xl_encoder
+from .encoders.mixnet import MixNetEncoder, mixnet_m_encoder, mixnet_s_encoder, mixnet_xl_encoder
 from .encoders.resnet import (
     ResNetEncoder,
     resnet18_encoder,
@@ -111,6 +112,10 @@ from .porting import convert_torch_tensor, port_torch_state_dict
 from .models import EncoderDecoderModel, UNetSegmentationModel
 
 __all__ = [
+    "MixNetEncoder",
+    "mixnet_m_encoder",
+    "mixnet_s_encoder",
+    "mixnet_xl_encoder",
     "WiderResNetA2Encoder",
     "wider_resnet16_a2_encoder",
     "wider_resnet20_a2_encoder",

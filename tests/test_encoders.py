@@ -155,3 +155,11 @@ def test_tresnet_m():
 
 def test_wider_resnet_a2():
     run_encoder(zoo.wider_resnet16_a2_encoder(layers=(1, 2, 3, 4, 5)), size=64)
+
+
+def test_mixnet_s():
+    run_encoder(zoo.mixnet_s_encoder(), size=64)
+
+
+def test_mixnet_xl():
+    run_encoder(zoo.mixnet_xl_encoder(), size=64)
