@@ -36,6 +36,14 @@ def _lovasz_grad_terms(gt_sorted: jnp.ndarray, valid_sorted: jnp.ndarray) -> jnp
     return jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
 
 
+def _sort_desc(keys: jnp.ndarray, *values: jnp.ndarray):
+    """Sort values by descending keys in ONE multi-operand lax.sort — much
+    faster on TPU than argsort + gathers (each gather of millions of elements
+    costs as much as the sort itself)."""
+    results = jax.lax.sort((-keys,) + values, num_keys=1)
+    return (-results[0],) + tuple(results[1:])
+
+
 def _hinge_flat(logits: jnp.ndarray, labels: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     labels = jnp.where(valid, labels, 0).astype(jnp.float32)
     valid_f = valid.astype(jnp.float32)
@@ -43,10 +51,7 @@ def _hinge_flat(logits: jnp.ndarray, labels: jnp.ndarray, valid: jnp.ndarray) ->
     errors = 1.0 - logits * signs
     # ignored pixels sort last (sentinel below any finite error)
     errors_masked = jnp.where(valid, errors, -jnp.inf)
-    order = jnp.argsort(-errors_masked)
-    errors_sorted = errors_masked[order]
-    gt_sorted = labels[order]
-    valid_sorted = valid_f[order]
+    errors_sorted, gt_sorted, valid_sorted = _sort_desc(errors_masked, labels, valid_f)
     grad = _lovasz_grad_terms(gt_sorted, valid_sorted)
     return jnp.sum(jax.nn.relu(jnp.where(valid_sorted > 0, errors_sorted, 0.0)) * grad)
 
@@ -90,10 +95,7 @@ def _softmax_flat(probas: jnp.ndarray, labels: jnp.ndarray, valid: jnp.ndarray, 
         class_pred = probas[:, 0] if num_classes == 1 else probas[:, c]
         errors = jnp.abs(fg - class_pred)
         errors_masked = jnp.where(valid, errors, -1.0)  # errors >= 0; -1 sorts last
-        order = jnp.argsort(-errors_masked)
-        errors_sorted = errors_masked[order]
-        fg_sorted = fg[order]
-        valid_sorted = valid_f[order]
+        errors_sorted, fg_sorted, valid_sorted = _sort_desc(errors_masked, fg, valid_f)
         grad = _lovasz_grad_terms(fg_sorted, valid_sorted)
         loss_c = jnp.sum(jnp.where(valid_sorted > 0, errors_sorted, 0.0) * grad)
         present_c = fg.sum() > 0

@@ -375,3 +375,20 @@ def test_benchmark_zero_warmup():
     f = jax.jit(lambda x: x + 1)
     stats = U.benchmark(f, jnp.ones((8,)), iters=2, warmup=0)
     assert stats["mean_s"] > 0
+
+
+def test_read_images_roundtrip(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    img = (np.random.RandomState(0).rand(16, 16, 3) * 255).astype(np.uint8)
+    path = str(tmp_path / "img.png")
+    cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    loaded = U.read_rgb_image(path)
+    np.testing.assert_array_equal(loaded, img)
+    as_is = U.read_image_as_is(path)
+    assert as_is.shape == (16, 16, 3)
+
+    mask = (np.random.RandomState(1).rand(16, 16) > 0.5).astype(np.uint8) * 200
+    mpath = str(tmp_path / "mask.png")
+    cv2.imwrite(mpath, mask)
+    binary = D.read_binary_mask(mpath)
+    np.testing.assert_array_equal(binary, (mask > 0).astype(np.uint8))

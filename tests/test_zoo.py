@@ -225,3 +225,24 @@ def test_port_torch_state_dict():
         feats = tmodel(torch.tensor(np.moveaxis(x, -1, 1)))
         ref = tlinear(feats.mean(dim=(2, 3))).numpy()
     np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+
+def test_decoders_training_mode():
+    """Training-mode forward (BatchNorm batch stats + dropout rngs) works
+    for every decoder."""
+    spec, maps = _dummy_spec_and_maps()
+    for decoder in [
+        zoo.UNetDecoder(input_spec=spec, out_channels=(8, 16, 32)),
+        zoo.FPNDecoder(input_spec=spec, out_channels=16),
+        zoo.CANDecoder(input_spec=spec, out_channels=16),
+        zoo.BiFPNDecoder(input_spec=spec, out_channels=16, num_layers=1),
+        zoo.DeeplabV3PlusDecoder(input_spec=spec, out_channels=8, atrous_rates=(1, 2, 3)),
+    ]:
+        variables = decoder.init(
+            {"params": KEY, "dropout": KEY}, maps, training=True
+        )
+        outs, updates = decoder.apply(
+            variables, maps, training=True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        assert len(outs) >= 1
