@@ -84,3 +84,26 @@ def test_tiled_apply_sharded_mean_weight():
         model, image, mesh, tile_size=64, tile_step=32, weight="mean", batch_size=2
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(image), atol=1e-4)
+
+
+def test_tiled_apply_sharded_with_real_unet():
+    """Flagship path: mesh-sharded tiled inference with an actual UNet must
+    match the single-device fused pipeline bit-for-bit (same tile grid,
+    same weights, deterministic)."""
+    from pytorch_toolbelt_tpu.inference import tiled_apply
+    from pytorch_toolbelt_tpu.zoo import UNetSegmentationModel
+
+    mesh = dist.make_mesh(jax.devices(), data_parallel=8, spatial_parallel=1)
+    model = UNetSegmentationModel(num_classes=2, encoder_channels=4, num_layers=2)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x0)
+
+    def infer(tiles):
+        return model.apply(variables, tiles)
+
+    image = jnp.asarray(np.random.RandomState(0).rand(160, 160, 3).astype(np.float32))
+    sharded = dist.tiled_apply_sharded(
+        infer, image, mesh, tile_size=64, tile_step=32, weight="pyramid", batch_size=1
+    )
+    single = tiled_apply(infer, image, tile_size=64, tile_step=32, weight="pyramid", batch_size=2)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
