@@ -32,6 +32,8 @@ __all__ = [
     "compute_pyramid_patch_weight_loss",
     "accumulate_tiles",
     "tiled_apply",
+    "tiled_apply_d4_tta",
+    "clear_tiled_cache",
 ]
 
 
@@ -72,14 +74,14 @@ class ImageSlicer:
 
         if isinstance(tile_size, (np.ndarray, tuple, list)):
             if len(tile_size) != 2:
-                raise ValueError(f"Tile size must have exactly 2 elements. Got: tile_size={tile_size}")
+                raise ValueError(f"tile_size must be an int or an (h, w) pair; got {tile_size!r}")
             self.tile_size = int(tile_size[0]), int(tile_size[1])
         else:
             self.tile_size = int(tile_size), int(tile_size)
 
         if isinstance(tile_step, (np.ndarray, tuple, list)):
             if len(tile_step) != 2:
-                raise ValueError(f"Tile step must have exactly 2 elements. Got: tile_step={tile_step}")
+                raise ValueError(f"tile_step must be an int or an (h, w) pair; got {tile_step!r}")
             self.tile_step = int(tile_step[0]), int(tile_step[1])
         else:
             self.tile_step = int(tile_step), int(tile_step)
@@ -336,25 +338,54 @@ class TileMerger:
 from functools import lru_cache
 
 
-@lru_cache(maxsize=64)
-def _get_tiled_plan(h, w, tile_size, tile_step, weight, batch_size):
-    """Host grid math + DEVICE-RESIDENT constants for a tiling config,
-    computed once and cached.  Keeping coords/weight/inv-norm on device
-    matters: host->device transfers are expensive (axon relay), and the
-    1/norm canvas alone is ~4 bytes/pixel."""
-    slicer = ImageSlicer((h, w), tile_size, tile_step, weight=weight)
-    th, tw = slicer.tile_size
-    coords = slicer.crops  # (x, y, w, h) numpy, static
-    n_tiles = len(coords)
-
-    # pad tile count to a multiple of batch_size; padding tiles get zero weight
+def _stack_batches(coords_yx_np: np.ndarray, batch_size: int):
+    """Pad a [N, 2] (row, col) coord list to a multiple of batch_size and
+    reshape to stacked [num_batches, B, 2] device batches + validity mask
+    (padding tiles get zero weight)."""
+    n_tiles = len(coords_yx_np)
     n_pad = (-n_tiles) % batch_size
     coords_yx = np.zeros((n_tiles + n_pad, 2), dtype=np.int32)
-    coords_yx[:n_tiles, 0] = coords[:, 1]
-    coords_yx[:n_tiles, 1] = coords[:, 0]
+    coords_yx[:n_tiles] = coords_yx_np
     valid = np.zeros((n_tiles + n_pad,), dtype=np.float32)
     valid[:n_tiles] = 1.0
     num_batches = (n_tiles + n_pad) // batch_size
+    return (
+        jnp.asarray(coords_yx.reshape(num_batches, batch_size, 2)),
+        jnp.asarray(valid.reshape(num_batches, batch_size)),
+    )
+
+
+@lru_cache(maxsize=4)
+def _get_tiled_plan(h, w, tile_size, tile_step, weight, batch_size, partition="none"):
+    """Host grid math + DEVICE-RESIDENT constants for a tiling config,
+    computed once and cached.  Keeping coords/weight/inv-norm on device
+    matters: host->device transfers are expensive (axon relay), and the
+    1/norm canvas alone is ~4 bytes/pixel — which is also why maxsize is
+    small (each full-resolution entry pins ~H*W*4 bytes of HBM; call
+    ``clear_tiled_cache()`` to release them all).
+
+    ``partition='none'`` yields one tile group; ``'parity2x2'`` yields four
+    groups keyed by grid parity ((row//step_h) % 2, (col//step_w) % 2) so
+    that, at step = size/2, the up-to-4 tiles covering any pixel land in 4
+    distinct groups (the basis for spreading TTA views across the overlap).
+    """
+    slicer = ImageSlicer((h, w), tile_size, tile_step, weight=weight)
+    th, tw = slicer.tile_size
+    coords = slicer.crops  # (x, y, w, h) numpy, static
+    coords_yx_np = np.stack([coords[:, 1], coords[:, 0]], axis=1).astype(np.int32)
+
+    if partition == "none":
+        group_coords_np = [coords_yx_np]
+    elif partition == "parity2x2":
+        step_h, step_w = slicer.tile_step
+        parity = (coords_yx_np[:, 0] // step_h) % 2 * 2 + (coords_yx_np[:, 1] // step_w) % 2
+        group_coords_np = [coords_yx_np[parity == g] for g in range(4)]
+    else:
+        raise ValueError(f"Unknown tile partition {partition!r}")
+
+    groups = tuple(_stack_batches(g, batch_size) for g in group_coords_np)
+    group_coords = tuple(g[0] for g in groups)
+    group_valid = tuple(g[1] for g in groups)
 
     weight_np = slicer.weight.astype(np.float32)
 
@@ -364,46 +395,64 @@ def _get_tiled_plan(h, w, tile_size, tile_step, weight, batch_size):
         norm[y : y + th, x : x + tw] += weight_np
     norm = np.clip(norm, np.finfo(np.float64).eps, None).astype(np.float32)
 
-    coords_dev = jnp.asarray(coords_yx.reshape(num_batches, batch_size, 2))
-    valid_dev = jnp.asarray(valid.reshape(num_batches, batch_size))
     weight_dev = jnp.asarray(weight_np)[..., None]
     inv_norm = jnp.asarray(1.0 / norm)[..., None]
-    return slicer, coords_dev, valid_dev, weight_dev, inv_norm
+    return slicer, group_coords, group_valid, weight_dev, inv_norm
 
 
 @lru_cache(maxsize=8)
-def _build_tiled_runner(model_fn, tgt_h, tgt_w, th, tw, out_channels, batch_size, acc_dtype):
+def _build_tiled_runner(model_fns, tgt_h, tgt_w, th, tw, out_channels, batch_size, acc_dtype):
     """Compile (once per config) the pad->slice->model->merge program.
 
-    NOTE: keyed on ``model_fn`` identity (like jax.jit itself) — callers must
-    pass a STABLE callable; a fresh lambda per call forces a recompile.
-    maxsize is small because each entry pins the closure's parameters and a
-    compiled executable."""
+    ``model_fns`` is a tuple of callables; the runner takes one
+    (coords, valid) pair of stacked batches per callable and scans each
+    group with its own model function (this is how parity-partitioned TTA
+    assigns different view subsets to different tile groups).
+
+    NOTE: keyed on the ``model_fns`` identities (like jax.jit itself) —
+    callers must pass STABLE callables; a fresh lambda per call forces a
+    recompile.  maxsize is small because each entry pins the closures'
+    parameters and a compiled executable; ``clear_tiled_cache()`` drops all
+    entries."""
 
     @jax.jit
-    def run(padded, coords_dev, valid_dev, weight_dev, inv_norm):
+    def run(padded, group_coords, group_valid, weight_dev, inv_norm):
         canvas = jnp.zeros((tgt_h, tgt_w, out_channels), dtype=acc_dtype)
 
-        def step(canvas, inp):
-            batch_coords, batch_valid = inp  # [B, 2], [B]
-            tiles = jax.vmap(
-                lambda yx: lax.dynamic_slice(padded, (yx[0], yx[1], 0), (th, tw, padded.shape[-1]))
-            )(batch_coords)
-            preds = model_fn(tiles).astype(acc_dtype)
+        def make_step(model_fn):
+            def step(canvas, inp):
+                batch_coords, batch_valid = inp  # [B, 2], [B]
+                tiles = jax.vmap(
+                    lambda yx: lax.dynamic_slice(padded, (yx[0], yx[1], 0), (th, tw, padded.shape[-1]))
+                )(batch_coords)
+                preds = model_fn(tiles).astype(acc_dtype)
 
-            def inner(i, canvas):
-                y, x = batch_coords[i, 0], batch_coords[i, 1]
-                region = lax.dynamic_slice(canvas, (y, x, 0), (th, tw, out_channels))
-                update = region + preds[i] * weight_dev * batch_valid[i]
-                return lax.dynamic_update_slice(canvas, update, (y, x, 0))
+                def inner(i, canvas):
+                    y, x = batch_coords[i, 0], batch_coords[i, 1]
+                    region = lax.dynamic_slice(canvas, (y, x, 0), (th, tw, out_channels))
+                    update = region + preds[i] * weight_dev * batch_valid[i]
+                    return lax.dynamic_update_slice(canvas, update, (y, x, 0))
 
-            canvas = lax.fori_loop(0, batch_size, inner, canvas)
-            return canvas, None
+                canvas = lax.fori_loop(0, batch_size, inner, canvas)
+                return canvas, None
 
-        canvas, _ = lax.scan(step, canvas, (coords_dev, valid_dev))
+            return step
+
+        for model_fn, coords_dev, valid_dev in zip(model_fns, group_coords, group_valid):
+            canvas, _ = lax.scan(make_step(model_fn), canvas, (coords_dev, valid_dev))
         return canvas * inv_norm
 
     return run
+
+
+def clear_tiled_cache() -> None:
+    """Release everything pinned by the ``tiled_apply`` caches: device-resident
+    tiling plans (coords / weight window / 1-per-pixel inverse-norm canvas, up
+    to ~4 bytes/pixel each) and compiled runners (each pins the model closure's
+    full parameter tree plus an executable).  Call between unrelated models or
+    image geometries to avoid silently accumulating HBM."""
+    _get_tiled_plan.cache_clear()
+    _build_tiled_runner.cache_clear()
 
 
 def tiled_apply(
@@ -436,15 +485,37 @@ def tiled_apply(
     Returns:
         [H, W, K] merged prediction.
     """
+    return _tiled_apply_grouped(
+        (model_fn,), image, tile_size, tile_step, weight, batch_size, out_channels,
+        accumulator_dtype, partition="none",
+    )
+
+
+def _tiled_apply_grouped(
+    model_fns: tuple,
+    image: jnp.ndarray,
+    tile_size,
+    tile_step,
+    weight,
+    batch_size: int,
+    out_channels: Optional[int],
+    accumulator_dtype,
+    partition: str,
+) -> jnp.ndarray:
     h, w = int(image.shape[0]), int(image.shape[1])
     plan_fn = _get_tiled_plan.__wrapped__ if isinstance(weight, np.ndarray) else _get_tiled_plan
-    slicer, coords_dev, valid_dev, weight_dev, inv_norm = plan_fn(
+    slicer, group_coords, group_valid, weight_dev, inv_norm = plan_fn(
         h, w,
         tile_size if isinstance(tile_size, int) else tuple(tile_size),
         tile_step if isinstance(tile_step, int) else tuple(tile_step),
-        weight, batch_size,
+        weight, batch_size, partition,
     )
     th, tw = slicer.tile_size
+    if len(group_coords) != len(model_fns):
+        raise ValueError(
+            f"Partition {partition!r} produced {len(group_coords)} tile groups "
+            f"but {len(model_fns)} model functions were supplied"
+        )
 
     pad_spec = [
         (slicer.margin_top, slicer.margin_bottom),
@@ -455,17 +526,96 @@ def tiled_apply(
     tgt_h, tgt_w = slicer.target_shape
 
     probe = jax.eval_shape(
-        model_fn, jax.ShapeDtypeStruct((batch_size, th, tw, image.shape[-1]), image.dtype)
+        model_fns[0], jax.ShapeDtypeStruct((batch_size, th, tw, image.shape[-1]), image.dtype)
     )
     out_dtype = probe.dtype
     if out_channels is None:
         out_channels = probe.shape[-1]
 
     runner = _build_tiled_runner(
-        model_fn, tgt_h, tgt_w, th, tw, int(out_channels), batch_size, accumulator_dtype
+        model_fns, tgt_h, tgt_w, th, tw, int(out_channels), batch_size, accumulator_dtype
     )
-    merged = runner(padded, coords_dev, valid_dev, weight_dev, inv_norm)
+    merged = runner(padded, group_coords, group_valid, weight_dev, inv_norm)
     return merged[
         slicer.margin_top : slicer.margin_top + h,
         slicer.margin_left : slicer.margin_left + w,
     ].astype(out_dtype)
+
+
+# The d4 group has 8 elements; at 2x overlap (step = size/2) every interior
+# pixel is covered by exactly 4 tiles, one from each grid-parity class.
+# Assigning each parity class a DISJOINT pair of d4 views makes every interior
+# pixel an average over all 8 views while computing each view ONCE per pixel
+# instead of 4 times — a 4x cut in model FLOPs and HBM traffic for the same
+# TTA ensemble (view weights follow the blend window instead of being
+# uniform; border pixels see the views of the tiles that cover them).
+_D4_PARITY_VIEW_PAIRS = ((0, 2), (1, 3), (4, 6), (5, 7))
+
+
+@lru_cache(maxsize=8)
+def _sparse_d4_fns(model_fn):
+    """Stable per-parity callables (cached on model_fn identity so repeated
+    tiled_apply_d4_tta calls reuse the compiled runner)."""
+    from .tta import d4_image_augment_views, d4_image_deaugment_views
+
+    def make(views):
+        def fn(tiles):
+            return d4_image_deaugment_views(model_fn(d4_image_augment_views(tiles, views)), views)
+
+        return fn
+
+    return tuple(make(views) for views in _D4_PARITY_VIEW_PAIRS)
+
+
+@lru_cache(maxsize=8)
+def _full_d4_fn(model_fn):
+    from .tta import d4_image2mask
+
+    def fn(tiles):
+        return d4_image2mask(model_fn, tiles)
+
+    return fn
+
+
+def tiled_apply_d4_tta(
+    model_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    image: jnp.ndarray,
+    tile_size: Union[int, Tuple[int, int]],
+    tile_step: Union[int, Tuple[int, int]],
+    weight: str = "pyramid",
+    batch_size: int = 8,
+    out_channels: Optional[int] = None,
+    accumulator_dtype=jnp.float32,
+    mode: str = "distributed",
+) -> jnp.ndarray:
+    """Tiled inference with d4 test-time augmentation, fused on device.
+
+    mode='full': every tile runs all 8 d4 views (identical numerics to
+        ``tiled_apply`` of ``d4_image2mask(model_fn, .)``).
+    mode='distributed': requires step == size/2 on both axes.  Each of the 4
+        grid-parity tile classes computes a disjoint PAIR of d4 views
+        (identity+rot180 / rot90+rot270 / transpose+anti-transpose rotations),
+        so every interior pixel still averages all 8 d4 views — blended by the
+        overlap window — at 1/4 the model compute of mode='full'.  Border
+        pixels average the views of however many tiles cover them.
+
+    ``model_fn`` must be a STABLE callable (see ``tiled_apply``).
+    """
+    ts = (tile_size, tile_size) if isinstance(tile_size, int) else tuple(tile_size)
+    st = (tile_step, tile_step) if isinstance(tile_step, int) else tuple(tile_step)
+    if mode == "full":
+        return _tiled_apply_grouped(
+            (_full_d4_fn(model_fn),), image, tile_size, tile_step, weight, batch_size,
+            out_channels, accumulator_dtype, partition="none",
+        )
+    if mode != "distributed":
+        raise ValueError(f"Unknown d4 TTA mode {mode!r}")
+    if ts[0] != 2 * st[0] or ts[1] != 2 * st[1]:
+        raise ValueError(
+            "mode='distributed' needs tile_step == tile_size/2 (4-fold overlap) "
+            f"so the parity classes tile the d4 group; got size={ts} step={st}"
+        )
+    return _tiled_apply_grouped(
+        _sparse_d4_fns(model_fn), image, tile_size, tile_step, weight, batch_size,
+        out_channels, accumulator_dtype, partition="parity2x2",
+    )

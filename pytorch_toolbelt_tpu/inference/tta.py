@@ -30,8 +30,10 @@ __all__ = [
     "d4_image2label",
     "d4_image2mask",
     "d4_image_augment",
+    "d4_image_augment_views",
     "d4_labels_augment",
     "d4_image_deaugment",
+    "d4_image_deaugment_views",
     "d4_labels_deaugment",
     "fivecrop_image2label",
     "fivecrop_image_augment",
@@ -61,7 +63,7 @@ MaybeStrOrCallable = Optional[Union[str, Callable]]
 
 def split_into_chunks(input: jnp.ndarray, num_chunks: int) -> Tuple[jnp.ndarray, ...]:
     if input.shape[0] % num_chunks != 0:
-        raise RuntimeError(f"Input batch size ({input.shape[0]}) must be divisible by {num_chunks}.")
+        raise RuntimeError(f"Cannot split batch of {input.shape[0]} into {num_chunks} equal TTA chunks.")
     return tuple(jnp.split(input, num_chunks, axis=0))
 
 
@@ -99,9 +101,9 @@ def fivecrop_image_augment(image: jnp.ndarray, crop_size: Tuple[int, int]) -> jn
     image_height, image_width = image.shape[1], image.shape[2]
     crop_height, crop_width = crop_size
     if crop_height > image_height:
-        raise ValueError(f"Tensor height ({image_height}) is less than requested crop size ({crop_height})")
+        raise ValueError(f"Crop height {crop_height} exceeds the image height {image_height}")
     if crop_width > image_width:
-        raise ValueError(f"Tensor width ({image_width}) is less than requested crop size ({crop_width})")
+        raise ValueError(f"Crop width {crop_width} exceeds the image width {image_width}")
 
     bottom = image_height - crop_height
     right = image_width - crop_width
@@ -240,9 +242,7 @@ def d4_image_augment(image: jnp.ndarray) -> jnp.ndarray:
     """[B] -> [8B]: rotations of the image and of its transpose
     (reference tta.py:385-422). Input must be square."""
     if image.shape[1] != image.shape[2]:
-        raise ValueError(
-            f"Input tensor must have number of rows equal to number of cols. Got {image.shape}"
-        )
+        raise ValueError(f"d4 TTA needs square spatial dims (H == W); got shape {image.shape}")
     image_t = F.image_transpose(image)
     return jnp.concatenate(
         [
@@ -275,6 +275,49 @@ def d4_image_deaugment(image: jnp.ndarray, reduction: MaybeStrOrCallable = "mean
             ]
         ),
         reduction,
+    )
+
+
+def d4_image_augment_views(image: jnp.ndarray, views: Tuple[int, ...]) -> jnp.ndarray:
+    """[B] -> [len(views)*B]: a SUBSET of the 8 d4 views, in d4 index order
+    (0=identity, 1=rot90cw, 2=rot180, 3=rot90ccw, 4..7 = same of transpose).
+    Unused transforms are dead code under jit, so requesting 2 views costs 2
+    transforms, not 8."""
+    if image.shape[1] != image.shape[2]:
+        raise ValueError(f"d4 TTA needs square spatial dims (H == W); got shape {image.shape}")
+    image_t = F.image_transpose(image)
+    aug = (
+        lambda: image,
+        lambda: F.image_rot90_cw(image),
+        lambda: F.image_rot180(image),
+        lambda: F.image_rot90_ccw(image),
+        lambda: image_t,
+        lambda: F.image_rot90_cw(image_t),
+        lambda: F.image_rot180(image_t),
+        lambda: F.image_rot90_ccw(image_t),
+    )
+    return jnp.concatenate([aug[v]() for v in views], axis=0)
+
+
+_D4_DEAUG = (
+    lambda b: b,
+    lambda b: F.image_rot90_ccw(b),
+    lambda b: F.image_rot180(b),
+    lambda b: F.image_rot90_cw(b),
+    lambda b: F.image_transpose(b),
+    lambda b: F.image_rot90_ccw_transpose(b),
+    lambda b: F.image_rot180_transpose(b),
+    lambda b: F.image_rot90_cw_transpose(b),
+)
+
+
+def d4_image_deaugment_views(
+    image: jnp.ndarray, views: Tuple[int, ...], reduction: MaybeStrOrCallable = "mean"
+) -> jnp.ndarray:
+    """Inverse of :func:`d4_image_augment_views` + reduction over the views."""
+    chunks = split_into_chunks(image, len(views))
+    return _deaugment_averaging(
+        jnp.stack([_D4_DEAUG[v](chunk) for v, chunk in zip(views, chunks)]), reduction
     )
 
 
@@ -332,7 +375,7 @@ def ms_labels_deaugment(
     reduction: MaybeStrOrCallable = "mean",
 ) -> jnp.ndarray:
     if len(logits) != len(size_offsets):
-        raise ValueError("Number of images must be equal to number of size offsets")
+        raise ValueError("Got a different number of images than size offsets")
     return _deaugment_averaging(jnp.stack(logits), reduction)
 
 
@@ -347,7 +390,7 @@ def ms_image_deaugment(
     """Resize per-scale outputs back to the original size and reduce
     (reference tta.py:645-689)."""
     if len(images) != len(size_offsets):
-        raise ValueError("Number of images must be equal to number of size offsets")
+        raise ValueError("Got a different number of images than size offsets")
 
     deaugmented = []
     for feature_map, offset in zip(images, size_offsets):
@@ -391,27 +434,27 @@ class GeneralizedTTA:
         if isinstance(self.augment_fn, dict):
             if len(input) != 0:
                 raise ValueError(
-                    "Input for GeneralizedTTA must not have positional arguments when augment_fn is dictionary"
+                    "GeneralizedTTA with a dict augment_fn takes keyword inputs only"
                 )
             augmented_inputs = {key: augment(kwargs[key]) for key, augment in self.augment_fn.items()}
             outputs = self.model_fn(**augmented_inputs)
         elif isinstance(self.augment_fn, (list, tuple)):
             if len(kwargs) != 0:
-                raise ValueError("Input for GeneralizedTTA must be exactly one tensor")
+                raise ValueError("GeneralizedTTA expects a single tensor input here")
             augmented_inputs = [augment(x) for x, augment in zip(input, self.augment_fn)]
             outputs = self.model_fn(*augmented_inputs)
         else:
             if len(input) != 1 or len(kwargs) != 0:
-                raise ValueError("Input for GeneralizedTTA must be exactly one tensor")
+                raise ValueError("GeneralizedTTA expects a single tensor input here")
             outputs = self.model_fn(self.augment_fn(input[0]))
 
         if isinstance(self.deaugment_fn, dict):
             if not isinstance(outputs, dict):
-                raise ValueError("Output of the model must be a dict")
+                raise ValueError("A dict deaugment_fn needs the model to return a dict")
             return {key: fn(outputs[key]) for key, fn in self.deaugment_fn.items()}
         if isinstance(self.deaugment_fn, (list, tuple)):
             if not isinstance(outputs, (dict, tuple, list)):
-                raise ValueError("Output of the model must be a dict or list")
+                raise ValueError("A list deaugment_fn needs the model to return a dict/list/tuple")
             return [fn(value) for value, fn in zip(outputs, self.deaugment_fn)]
         return self.deaugment_fn(outputs)
 

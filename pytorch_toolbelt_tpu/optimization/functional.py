@@ -81,6 +81,12 @@ def build_optimizer_param_groups(
     wd_items = [(k, v) for k, v in weight_decay.items() if k != "_default_"]
 
     groups: Dict[str, Dict] = {}
+    # Groups are identified by the (lr_index, wd_index) TUPLE — '_'-joined
+    # strings can collide when prefixes themselves contain '_' (lr 'a' + wd
+    # 'b_c' vs lr 'a_b' + wd 'c'), which would silently train the second set
+    # of parameters with the first group's hyperparameters.  Display names
+    # are de-duplicated with a numeric suffix when they clash.
+    name_by_key: Dict[Tuple[str, str], str] = {}
 
     def label_for(path, leaf):
         name = _leaf_path_str(path)
@@ -101,7 +107,17 @@ def build_optimizer_param_groups(
         elif not apply_weight_decay_on_bias and name.endswith(".bias") and not is_norm:
             wd_index, wd_value = "no_wd_on_bias", 0.0
 
-        group_name = lr_index if lr_index == wd_index else f"{lr_index}_{wd_index}"
+        key = (lr_index, wd_index)
+        group_name = name_by_key.get(key)
+        if group_name is None:
+            group_name = lr_index if lr_index == wd_index else f"{lr_index}_{wd_index}"
+            taken = set(name_by_key.values())
+            if group_name in taken:
+                suffix = 2
+                while f"{group_name}~{suffix}" in taken:
+                    suffix += 1
+                group_name = f"{group_name}~{suffix}"
+            name_by_key[key] = group_name
         entry = groups.setdefault(
             group_name, {"lr": lr_value, "weight_decay": wd_value, "count": 0}
         )

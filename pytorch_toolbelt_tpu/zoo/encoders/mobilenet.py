@@ -31,23 +31,36 @@ class InvertedResidual(nn.Module):
     kernel_size: int = 3
     use_se: bool = False
     use_hs: bool = False  # hard-swish instead of relu6
+    divisible_hidden: bool = True  # False = round() like the vendored torch V2
+    activation: Optional[str] = None  # overrides use_hs when set
 
     @nn.compact
     def __call__(self, x, training: bool = False):
+        from ...nn.activations import get_activation_fn
+
         in_channels = x.shape[-1]
-        hidden = _make_divisible(in_channels * self.expand_ratio)
-        act = hard_swish if self.use_hs else jax.nn.relu6
+        if self.divisible_hidden:
+            hidden = _make_divisible(in_channels * self.expand_ratio)
+        else:
+            hidden = int(round(in_channels * self.expand_ratio))
+        if self.activation is not None:
+            act = get_activation_fn(self.activation)
+        else:
+            act = hard_swish if self.use_hs else jax.nn.relu6
         norm = lambda: nn.BatchNorm(use_running_average=not training)
         y = x
         if self.expand_ratio != 1:
             y = nn.Conv(hidden, (1, 1), use_bias=False)(y)
             y = norm()(y)
             y = act(y)
+        # symmetric (k-1)/2 padding: torch semantics; differs from XLA "SAME"
+        # only at stride 2, where "SAME" pads asymmetrically
+        p = (self.kernel_size - 1) // 2
         y = nn.Conv(
             hidden,
             (self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=((p, p), (p, p)),
             feature_group_count=hidden,
             use_bias=False,
         )(y)
@@ -80,19 +93,26 @@ _V2_CONFIG = [
 
 
 class MobileNetV2Encoder(EncoderBase):
-    """MobileNetV2 (arXiv:1801.04381). Feature maps at strides 2/4/8/16/32."""
+    """MobileNetV2 (arXiv:1801.04381). Feature maps at strides 2/4/8/16/32.
+
+    Channel rounding follows the reference's vendored backbone
+    (modules/backbone/mobilenet.py:18-101: ``int(c * width_mult)`` stages,
+    ``round(inp * t)`` hidden dims) so ported torch weights drop in exactly;
+    the pluggable ``activation`` mirrors its activation argument.
+    """
 
     width_mult: float = 1.0
     layers: Optional[Tuple[int, ...]] = None
+    activation: str = "relu6"
 
     def _stage_channels(self) -> Tuple[int, ...]:
         w = self.width_mult
         return (
-            _make_divisible(16 * w),
-            _make_divisible(24 * w),
-            _make_divisible(32 * w),
-            _make_divisible(96 * w),
-            _make_divisible(320 * w),
+            int(16 * w),
+            int(24 * w),
+            int(32 * w),
+            int(96 * w),
+            int(320 * w),
         )
 
     def get_output_spec(self) -> FeatureMapsSpec:
@@ -105,10 +125,15 @@ class MobileNetV2Encoder(EncoderBase):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> List[jnp.ndarray]:
+        from ...nn.activations import get_activation_fn
+
         w = self.width_mult
-        x = nn.Conv(_make_divisible(32 * w), (3, 3), strides=(2, 2), padding="SAME", use_bias=False)(x)
+        act = get_activation_fn(self.activation)
+        x = nn.Conv(
+            int(32 * w), (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), use_bias=False
+        )(x)
         x = nn.BatchNorm(use_running_average=not training)(x)
-        x = jax.nn.relu6(x)
+        x = act(x)
 
         outputs = []
         current_stride = 2
@@ -119,7 +144,11 @@ class MobileNetV2Encoder(EncoderBase):
                     outputs.append(x)  # snapshot before downsampling
                     current_stride *= 2
                 x = InvertedResidual(
-                    _make_divisible(c * w), stride=stride, expand_ratio=t
+                    int(c * w),
+                    stride=stride,
+                    expand_ratio=t,
+                    divisible_hidden=False,
+                    activation=self.activation,
                 )(x, training=training)
         outputs.append(x)
 
@@ -194,7 +223,7 @@ class MobileNetV3Encoder(EncoderBase):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> List[jnp.ndarray]:
-        x = nn.Conv(16, (3, 3), strides=(2, 2), padding="SAME", use_bias=False)(x)
+        x = nn.Conv(16, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not training)(x)
         x = hard_swish(x)
 

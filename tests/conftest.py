@@ -57,8 +57,71 @@ def reference_available() -> bool:
 
                 tv_ops.box_iou = box_iou
                 tv.ops = tv_ops
+
+                # pytorch_toolbelt.modules.encoders.* import torchvision.models
+                # symbols at module import time; a __getattr__ placeholder lets
+                # the package import so the VENDORED backbones (which need no
+                # torchvision) are reachable for parity tests.
+                tv_models = types.ModuleType("torchvision.models")
+
+                def _missing_model(name):
+                    def unavailable(*args, **kwargs):
+                        raise RuntimeError(f"torchvision.models.{name} is not available in tests")
+
+                    return unavailable
+
+                tv_models.__getattr__ = _missing_model
+                tv.models = tv_models
                 sys.modules["torchvision"] = tv
                 sys.modules["torchvision.ops"] = tv_ops
+                sys.modules["torchvision.models"] = tv_models
+
+            if "timm" not in sys.modules and os.path.isdir(REFERENCE_PATH):
+                # reference encoders/swin.py needs three small timm.models.layers
+                # helpers at import time
+                import collections.abc
+                import itertools
+
+                import torch as _torch
+
+                timm = types.ModuleType("timm")
+                timm_models = types.ModuleType("timm.models")
+                timm_layers = types.ModuleType("timm.models.layers")
+
+                def to_2tuple(x):
+                    if isinstance(x, collections.abc.Iterable) and not isinstance(x, str):
+                        return tuple(x)
+                    return tuple(itertools.repeat(x, 2))
+
+                def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+                    with _torch.no_grad():
+                        tensor.normal_(mean, std).clamp_(min=a * std + mean, max=b * std + mean)
+                    return tensor
+
+                class DropPath(_torch.nn.Module):
+                    def __init__(self, drop_prob=0.0, scale_by_keep=True):
+                        super().__init__()
+                        self.drop_prob = float(drop_prob or 0.0)
+                        self.scale_by_keep = scale_by_keep
+
+                    def forward(self, x):
+                        if self.drop_prob == 0.0 or not self.training:
+                            return x
+                        keep = 1.0 - self.drop_prob
+                        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+                        mask = x.new_empty(shape).bernoulli_(keep)
+                        if self.scale_by_keep:
+                            mask.div_(keep)
+                        return x * mask
+
+                timm_layers.to_2tuple = to_2tuple
+                timm_layers.trunc_normal_ = trunc_normal_
+                timm_layers.DropPath = DropPath
+                timm_models.layers = timm_layers
+                timm.models = timm_models
+                sys.modules["timm"] = timm
+                sys.modules["timm.models"] = timm_models
+                sys.modules["timm.models.layers"] = timm_layers
 
             if REFERENCE_PATH not in sys.path and os.path.isdir(REFERENCE_PATH):
                 sys.path.append(REFERENCE_PATH)
