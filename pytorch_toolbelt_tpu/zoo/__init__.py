@@ -92,6 +92,15 @@ from .encoders.resnet import (
     seresnext50_encoder,
     seresnext101_encoder,
 )
+from .encoders.senet import (
+    SENetEncoder,
+    se_resnet50_encoder,
+    se_resnet101_encoder,
+    se_resnet152_encoder,
+    se_resnext50_encoder,
+    se_resnext101_encoder,
+    senet154_encoder,
+)
 from .encoders.unet import UnetEncoder
 from .heads.classification import (
     FullyConnectedClassificationHead,

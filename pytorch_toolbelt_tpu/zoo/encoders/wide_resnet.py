@@ -1,16 +1,22 @@
-"""WiderResNet encoders (Mapillary inplace-ABN family; capability target:
+"""WiderResNet encoders (Mapillary inplace-ABN family; parity target:
 modules/encoders/wide_resnet.py:19-165 + modules/backbone/wider_resnet.py).
 
 Pre-activation identity-residual blocks; channels per module
-(64, 128, 256, 512, 1024, 2048, 4096) at strides (1, 2, 4, 8, 16, 32, 32).
+(64, 128, 256, 512, 1024, 2048, 4096).
 
-Two downsampling policies, selected by ``a2``:
+Downsampling policies, matching the reference exactly:
 
-* base: max-pool before each of modules 2..6 (reference WiderResNet).
-* a2:   max-pool before modules 2-3, average-pool entering modules 4-6
-        (the smooth-downsampling flavor of the reference's WiderResNetA2;
-        the original's dilated final modules are not reproduced — strides
-        match the reference encoder's advertised (…, 32, 32)).
+* base (``WiderResNet``): max-pool 3x3/2 before each of modules 2..6; all
+  blocks stride 1 (wider_resnet.py:102-167).
+* a2 (``WiderResNetA2``): max-pool before modules 2-3 only; modules 4-6
+  downsample with a STRIDED first block (stride on conv1 + strided 1x1
+  shortcut projection, wider_resnet.py:204-214); modules 6-7 carry in-block
+  Dropout2d 0.3/0.5 (training only).
+* a2 + ``dilation=True``: only module 4 downsamples; modules 5-7 use
+  dilation 2/4/4, output stride 8 (wider_resnet.py:207-214).
+
+Torch checkpoints port via zoo/porting.py wider_resnet_mapping (explicit
+module names below mirror the torch layout).
 """
 
 from typing import List, Optional, Tuple
@@ -26,6 +32,7 @@ from .common import EncoderBase
 __all__ = [
     "WiderResNetEncoder",
     "WiderResNetA2Encoder",
+    "IdentityResidualBlock",
     "wider_resnet16_encoder",
     "wider_resnet20_encoder",
     "wider_resnet38_encoder",
@@ -47,27 +54,54 @@ _MODULE_CHANNELS = (
 
 class IdentityResidualBlock(nn.Module):
     channels: Tuple[int, ...]
+    stride: int = 1
+    dilation: int = 1
+    dropout_rate: float = 0.0
     activation: str = ACT_RELU
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         act = instantiate_activation_block(self.activation)
-        norm = lambda: nn.BatchNorm(use_running_average=not training)
 
-        pre = act(norm()(x))
-        need_proj = x.shape[-1] != self.channels[-1]
-        shortcut = nn.Conv(self.channels[-1], (1, 1), use_bias=False)(pre) if need_proj else x
+        def norm(name):
+            return nn.BatchNorm(use_running_average=not training, name=name)
+
+        s = (self.stride, self.stride)
+        d = (self.dilation, self.dilation)
+        p = ((self.dilation, self.dilation), (self.dilation, self.dilation))
+
+        pre = act(norm("bn1")(x))
+        need_proj = self.stride != 1 or x.shape[-1] != self.channels[-1]
+        if need_proj:
+            shortcut = nn.Conv(
+                self.channels[-1], (1, 1), strides=s, use_bias=False, name="proj_conv"
+            )(pre)
+        else:
+            shortcut = x
 
         if len(self.channels) == 2:
-            y = nn.Conv(self.channels[0], (3, 3), padding="SAME", use_bias=False)(pre)
-            y = act(norm()(y))
-            y = nn.Conv(self.channels[1], (3, 3), padding="SAME", use_bias=False)(y)
+            y = nn.Conv(
+                self.channels[0], (3, 3), strides=s, padding=p, kernel_dilation=d,
+                use_bias=False, name="conv1",
+            )(pre)
+            y = act(norm("bn2")(y))
+            if self.dropout_rate and training:
+                y = nn.Dropout(self.dropout_rate, deterministic=not training)(y)
+            y = nn.Conv(
+                self.channels[1], (3, 3), padding=p, kernel_dilation=d,
+                use_bias=False, name="conv2",
+            )(y)
         else:
-            y = nn.Conv(self.channels[0], (1, 1), use_bias=False)(pre)
-            y = act(norm()(y))
-            y = nn.Conv(self.channels[1], (3, 3), padding="SAME", use_bias=False)(y)
-            y = act(norm()(y))
-            y = nn.Conv(self.channels[2], (1, 1), use_bias=False)(y)
+            y = nn.Conv(self.channels[0], (1, 1), strides=s, use_bias=False, name="conv1")(pre)
+            y = act(norm("bn2")(y))
+            y = nn.Conv(
+                self.channels[1], (3, 3), padding=p, kernel_dilation=d,
+                use_bias=False, name="conv2",
+            )(y)
+            y = act(norm("bn3")(y))
+            if self.dropout_rate and training:
+                y = nn.Dropout(self.dropout_rate, deterministic=not training)(y)
+            y = nn.Conv(self.channels[2], (1, 1), use_bias=False, name="conv3")(y)
         return y + shortcut
 
 
@@ -75,11 +109,15 @@ class WiderResNetEncoder(EncoderBase):
     structure: Tuple[int, ...] = (1, 1, 1, 1, 1, 1)
     activation: str = ACT_RELU
     a2: bool = False
+    dilation: bool = False  # a2 only: dilate modules 5-7, output stride 8
     layers: Optional[Tuple[int, ...]] = None
 
     def get_output_spec(self) -> FeatureMapsSpec:
         channels = (64, 128, 256, 512, 1024, 2048, 4096)
-        strides = (1, 2, 4, 8, 16, 32, 32)
+        if self.a2 and self.dilation:
+            strides = (1, 2, 4, 8, 8, 8, 8)
+        else:
+            strides = (1, 2, 4, 8, 16, 32, 32)
         if self.layers is not None:
             channels = tuple(channels[i] for i in self.layers)
             strides = tuple(strides[i] for i in self.layers)
@@ -88,19 +126,26 @@ class WiderResNetEncoder(EncoderBase):
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> List[jnp.ndarray]:
         outputs = []
-        x = nn.Conv(64, (3, 3), padding="SAME", use_bias=False)(x)
+        x = nn.Conv(64, (3, 3), padding="SAME", use_bias=False, name="mod1_conv1")(x)
         outputs.append(x)
 
-        for module_index, (num_blocks, channels) in enumerate(zip(self.structure, _MODULE_CHANNELS)):
-            # 5 downsamples total (final stride 32); the a2 flavor smooths
-            # modules 4-6 with average pooling instead of max pooling
-            if module_index < 5:
-                if self.a2 and module_index >= 2:
-                    x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-                else:
-                    x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-            for _ in range(num_blocks):
-                x = IdentityResidualBlock(channels, activation=self.activation)(x, training=training)
+        for mod_id, (num_blocks, channels) in enumerate(zip(self.structure, _MODULE_CHANNELS)):
+            pool_before = mod_id < 2 if self.a2 else mod_id < 5
+            if pool_before:
+                x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+            for block_id in range(num_blocks):
+                stride, dil, drop = 1, 1, 0.0
+                if self.a2:
+                    if self.dilation:
+                        dil = 2 if mod_id == 3 else (4 if mod_id > 3 else 1)
+                        stride = 2 if block_id == 0 and mod_id == 2 else 1
+                    else:
+                        stride = 2 if block_id == 0 and 2 <= mod_id <= 4 else 1
+                    drop = 0.3 if mod_id == 4 else (0.5 if mod_id == 5 else 0.0)
+                x = IdentityResidualBlock(
+                    channels, stride=stride, dilation=dil, dropout_rate=drop,
+                    activation=self.activation, name=f"mod{mod_id + 2}_block{block_id + 1}",
+                )(x, training=training)
             outputs.append(x)
 
         if self.layers is not None:
@@ -109,7 +154,8 @@ class WiderResNetEncoder(EncoderBase):
 
 
 def WiderResNetA2Encoder(**kwargs) -> WiderResNetEncoder:
-    """A2-flavor factory (see module docstring)."""
+    """A2-flavor factory (strided-conv downsampling in modules 4-6; see
+    module docstring)."""
     return WiderResNetEncoder(a2=True, **kwargs)
 
 

@@ -22,6 +22,9 @@ __all__ = [
     "bn_mapping",
     "conv_mapping",
     "mobilenet_v2_mapping",
+    "senet_mapping",
+    "inception_v4_mapping",
+    "wider_resnet_mapping",
 ]
 
 
@@ -166,4 +169,127 @@ def mobilenet_v2_mapping() -> Dict[Tuple[str, ...], str]:
                 m.update(conv_mapping((fp, "Conv_2"), f"{tp}.6"))
                 m.update(bn_mapping((fp, "BatchNorm_2"), f"{tp}.7"))
             block += 1
+    return m
+
+
+def senet_mapping(stage_blocks: Tuple[int, ...], input_3x3: bool = False) -> Dict[Tuple[str, ...], str]:
+    """Flax SENetEncoder <- vendored torch SENet state dict (reference
+    modules/backbone/senet.py:209-356).  Covers the stem, every bottleneck's
+    convs/BNs/SE gate, and first-block downsample projections."""
+    m = {}
+    stem_convs = (1, 2, 3) if input_3x3 else (1,)
+    for i in stem_convs:
+        m.update(conv_mapping((f"layer0_conv{i}",), f"layer0.conv{i}"))
+        m.update(bn_mapping((f"layer0_bn{i}",), f"layer0.bn{i}"))
+    for stage, num_blocks in enumerate(stage_blocks, start=1):
+        for i in range(num_blocks):
+            fp = f"layer{stage}_{i}"
+            tp = f"layer{stage}.{i}"
+            for c in ("conv1", "conv2", "conv3"):
+                m.update(conv_mapping((fp, c), f"{tp}.{c}"))
+            for b in ("bn1", "bn2", "bn3"):
+                m.update(bn_mapping((fp, b), f"{tp}.{b}"))
+            m.update(conv_mapping((fp, "se", "se_fc1"), f"{tp}.se_module.fc1", bias=True))
+            m.update(conv_mapping((fp, "se", "se_fc2"), f"{tp}.se_module.fc2", bias=True))
+            if i == 0:  # every stage's first block projects the shortcut
+                m.update(conv_mapping((fp, "downsample_conv"), f"{tp}.downsample.0"))
+                m.update(bn_mapping((fp, "downsample_bn"), f"{tp}.downsample.1"))
+    return m
+
+
+def _convbn_mapping(flax_prefix: Tuple[str, ...], torch_prefix: str) -> Dict:
+    """One ConvBN (Conv_0 + BatchNorm_0) <- torch BasicConv2d (conv + bn)."""
+    m = conv_mapping(flax_prefix + ("Conv_0",), f"{torch_prefix}.conv")
+    m.update(bn_mapping(flax_prefix + ("BatchNorm_0",), f"{torch_prefix}.bn"))
+    return m
+
+
+def inception_v4_mapping() -> Dict[Tuple[str, ...], str]:
+    """Flax InceptionV4Encoder <- vendored torch InceptionV4 state dict
+    (reference modules/backbone/inceptionv4.py:253-285).  ConvBN indices
+    follow the encoder's instantiation order; torch keys follow the
+    features.N sequential layout."""
+    m = {}
+
+    def cb(flax_idx: int, torch_path: str, outer: Tuple[str, ...] = ()):
+        m.update(_convbn_mapping(outer + (f"ConvBN_{flax_idx}",), torch_path))
+
+    # stem convs (features.0-2), mixed_3a conv (features.3)
+    cb(0, "features.0")
+    cb(1, "features.1")
+    cb(2, "features.2")
+    cb(3, "features.3.conv")
+    # mixed_4a (features.4): branch0 2 convs, branch1 4 convs
+    cb(4, "features.4.branch0.0")
+    cb(5, "features.4.branch0.1")
+    cb(6, "features.4.branch1.0")
+    cb(7, "features.4.branch1.1")
+    cb(8, "features.4.branch1.2")
+    cb(9, "features.4.branch1.3")
+    # mixed_5a conv (features.5)
+    cb(10, "features.5.conv")
+
+    # Inception-A x4 (features.6-9)
+    a_branches = ["branch0", "branch1.0", "branch1.1", "branch2.0", "branch2.1", "branch2.2", "branch3.1"]
+    for i in range(4):
+        for j, b in enumerate(a_branches):
+            cb(j, f"features.{6 + i}.{b}", (f"InceptionA_{i}",))
+    # Reduction-A (features.10)
+    for j, b in enumerate(["branch0", "branch1.0", "branch1.1", "branch1.2"]):
+        cb(j, f"features.10.{b}", ("ReductionA_0",))
+    # Inception-B x7 (features.11-17)
+    b_branches = [
+        "branch0",
+        "branch1.0", "branch1.1", "branch1.2",
+        "branch2.0", "branch2.1", "branch2.2", "branch2.3", "branch2.4",
+        "branch3.1",
+    ]
+    for i in range(7):
+        for j, b in enumerate(b_branches):
+            cb(j, f"features.{11 + i}.{b}", (f"InceptionB_{i}",))
+    # Reduction-B (features.18)
+    for j, b in enumerate(["branch0.0", "branch0.1", "branch1.0", "branch1.1", "branch1.2", "branch1.3"]):
+        cb(j, f"features.18.{b}", ("ReductionB_0",))
+    # Inception-C x3 (features.19-21)
+    c_branches = [
+        "branch0",
+        "branch1_0", "branch1_1a", "branch1_1b",
+        "branch2_0", "branch2_1", "branch2_2", "branch2_3a", "branch2_3b",
+        "branch3.1",
+    ]
+    for i in range(3):
+        for j, b in enumerate(c_branches):
+            cb(j, f"features.{19 + i}.{b}", (f"InceptionC_{i}",))
+    return m
+
+
+def wider_resnet_mapping(structure: Tuple[int, ...], a2: bool = False, dilation: bool = False) -> Dict[Tuple[str, ...], str]:
+    """Flax WiderResNetEncoder <- vendored torch WiderResNet/A2 state dict
+    (reference modules/backbone/wider_resnet.py:10-285).  ABN norm layers
+    live under '<bn>.bn' in the torch keys."""
+    from .encoders.wide_resnet import _MODULE_CHANNELS
+
+    m = conv_mapping(("mod1_conv1",), "mod1.conv1")
+    in_channels = 64
+    for mod_id, num_blocks in enumerate(structure):
+        channels = _MODULE_CHANNELS[mod_id]
+        for block_id in range(num_blocks):
+            if a2 and not dilation:
+                stride = 2 if block_id == 0 and 2 <= mod_id <= 4 else 1
+            elif a2 and dilation:
+                stride = 2 if block_id == 0 and mod_id == 2 else 1
+            else:
+                stride = 1
+            fp = f"mod{mod_id + 2}_block{block_id + 1}"
+            tp = f"mod{mod_id + 2}.block{block_id + 1}"
+            m.update(bn_mapping((fp, "bn1", ), f"{tp}.bn1.bn"))
+            m.update(conv_mapping((fp, "conv1"), f"{tp}.convs.conv1"))
+            m.update(bn_mapping((fp, "bn2"), f"{tp}.convs.bn2.bn"))
+            m.update(conv_mapping((fp, "conv2"), f"{tp}.convs.conv2"))
+            if len(channels) == 3:
+                m.update(bn_mapping((fp, "bn3"), f"{tp}.convs.bn3.bn"))
+                m.update(conv_mapping((fp, "conv3"), f"{tp}.convs.conv3"))
+            if stride != 1 or in_channels != channels[-1]:
+                m.update(conv_mapping((fp, "proj_conv"), f"{tp}.proj_conv"))
+            in_channels = channels[-1]
     return m

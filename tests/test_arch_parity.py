@@ -89,3 +89,142 @@ def test_mobilenet_v2_matches_vendored_torch():
         feats.append(t)  # 320ch stride 32
 
     _assert_features_close(ours, feats, ["s2", "s4", "s8", "s16", "s32"])
+
+
+def _torch_senet_features(encoder, x):
+    """Run the vendored torch SENet stage-wise, snapshotting like our
+    encoder (stride-2 stem BEFORE the maxpool, then each stage)."""
+    import torch
+
+    with torch.no_grad():
+        t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        feats = []
+        stem = encoder.layer0[:-1](t)  # exclude the pool
+        feats.append(stem)
+        t = encoder.layer0[-1](stem)
+        for layer in (encoder.layer1, encoder.layer2, encoder.layer3, encoder.layer4):
+            t = layer(t)
+            feats.append(t)
+    return feats
+
+
+@pytest.mark.parametrize(
+    "preset",
+    ["se_resnet50", "se_resnext50_32x4d", "senet154"],
+)
+def test_senet_family_matches_vendored_torch(preset):
+    import torch
+
+    from pytorch_toolbelt.modules.backbone import senet as ref_senet
+    from pytorch_toolbelt_tpu.zoo.encoders import senet as our_senet
+    from pytorch_toolbelt_tpu.zoo.porting import port_torch_state_dict, senet_mapping
+
+    torch.manual_seed(0)
+    ref = getattr(ref_senet, preset)(pretrained=None).eval()
+    _randomize_bn_stats(ref)
+
+    ours = {
+        "se_resnet50": our_senet.se_resnet50_encoder,
+        "se_resnext50_32x4d": our_senet.se_resnext50_encoder,
+        "senet154": our_senet.senet154_encoder,
+    }[preset]()
+
+    import jax
+
+    size = 64
+    x = np.random.RandomState(1).rand(1, size, size, 3).astype(np.float32)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    mapping = senet_mapping(ours.stage_blocks, input_3x3=ours.input_3x3)
+    variables = port_torch_state_dict(variables, ref.state_dict(), mapping)
+    out = ours.apply(variables, jnp.asarray(x))
+
+    feats = _torch_senet_features(ref, x)
+    _assert_features_close(out, feats, ["s2", "s4", "s8", "s16", "s32"])
+
+
+def test_inception_v4_matches_vendored_torch():
+    import torch
+
+    from pytorch_toolbelt.modules.backbone.inceptionv4 import InceptionV4
+    from pytorch_toolbelt_tpu.zoo.encoders.inception import InceptionV4Encoder
+    from pytorch_toolbelt_tpu.zoo.porting import inception_v4_mapping, port_torch_state_dict
+
+    torch.manual_seed(0)
+    ref = InceptionV4(num_classes=10).eval()
+    _randomize_bn_stats(ref)
+
+    import jax
+
+    enc = InceptionV4Encoder(torch_compat=True)
+    x = np.random.RandomState(1).rand(1, 160, 160, 3).astype(np.float32)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = port_torch_state_dict(variables, ref.state_dict(), inception_v4_mapping())
+    ours = enc.apply(variables, jnp.asarray(x))
+
+    with torch.no_grad():
+        t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        feats = []
+        t = ref.features[0:3](t)
+        feats.append(t)
+        t = ref.features[3:5](t)
+        feats.append(t)
+        t = ref.features[5:10](t)
+        feats.append(t)
+        t = ref.features[10:18](t)
+        feats.append(t)
+        t = ref.features[18:22](t)
+        feats.append(t)
+
+    _assert_features_close(ours, feats, ["l0", "l1", "l2", "l3", "l4"])
+
+
+@pytest.mark.parametrize("a2", [False, True])
+def test_wider_resnet16_matches_vendored_torch(a2):
+    import torch
+
+    from pytorch_toolbelt.modules.backbone.wider_resnet import WiderResNet, WiderResNetA2
+    from pytorch_toolbelt_tpu.zoo.encoders.wide_resnet import WiderResNetEncoder
+    from pytorch_toolbelt_tpu.zoo.porting import port_torch_state_dict, wider_resnet_mapping
+
+    torch.manual_seed(0)
+    structure = [1, 1, 1, 1, 1, 1]
+    ref = (WiderResNetA2 if a2 else WiderResNet)(structure=structure, classes=0).eval()
+    _randomize_bn_stats(ref)
+
+    import jax
+
+    enc = WiderResNetEncoder(structure=tuple(structure), a2=a2)
+    x = np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = port_torch_state_dict(
+        variables, ref.state_dict(), wider_resnet_mapping(tuple(structure), a2=a2)
+    )
+    ours = enc.apply(variables, jnp.asarray(x))
+
+    with torch.no_grad():
+        t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        feats = []
+        t = ref.mod1(t)
+        feats.append(t)
+        t = ref.mod2(ref.pool2(t))
+        feats.append(t)
+        t = ref.mod3(ref.pool3(t))
+        feats.append(t)
+        if a2:
+            t = ref.mod4(t)
+            feats.append(t)
+            t = ref.mod5(t)
+            feats.append(t)
+            t = ref.mod6(t)
+            feats.append(t)
+        else:
+            t = ref.mod4(ref.pool4(t))
+            feats.append(t)
+            t = ref.mod5(ref.pool5(t))
+            feats.append(t)
+            t = ref.mod6(ref.pool6(t))
+            feats.append(t)
+        t = ref.mod7(t)
+        feats.append(t)
+
+    _assert_features_close(ours, feats, [f"mod{i}" for i in range(1, 8)])
