@@ -280,10 +280,22 @@ class TileMerger:
     """Device-resident accumulator (reference tiles.py:290-350).
 
     Accepts NHWC tile batches + (x, y, w, h) crop coords from ImageSlicer.
+
+    Merge strategy (``use_pallas``):
+
+    * ``"auto"`` (default): when the FIRST ``integrate_batch`` call delivers a
+      complete regular tile grid on a fresh canvas (the ImageSlicer
+      one-shot-merge pattern) and the geometry is lane-aligned, use the
+      gather-formulation Pallas kernel (``ops.pallas_grid_merge`` — canvas
+      written once, ~1.8x the XLA scan); otherwise fall back to the XLA
+      scan-of-DUS scatter path.
+    * ``False``: always the XLA scatter path.
+    * ``True``: force the Pallas scatter kernel (arbitrary aligned coords;
+      slower than XLA — kept for streaming experiments).
     """
 
     def __init__(self, image_shape, channels: int, weight: np.ndarray, dtype=jnp.float32,
-                 use_pallas: bool = False):
+                 use_pallas="auto"):
         self.image_height = int(image_shape[0])
         self.image_width = int(image_shape[1])
         self.channels = int(channels)
@@ -291,6 +303,7 @@ class TileMerger:
         self.image = jnp.zeros((self.image_height, self.image_width, channels), dtype=dtype)
         self.norm_mask = jnp.zeros((self.image_height, self.image_width, 1), dtype=dtype)
         self.use_pallas = use_pallas
+        self._touched = False
 
     def accumulate_single(self, tile: jnp.ndarray, coords) -> None:
         """tile [th, tw, C]; coords (x, y, w, h)."""
@@ -303,11 +316,28 @@ class TileMerger:
         batch = jnp.asarray(batch, dtype=self.image.dtype)
         coords = np.asarray(crop_coords)
         coords_yx_np = coords[:, [1, 0]].astype(np.int32)
+        th, tw = int(batch.shape[1]), int(batch.shape[2])
+
+        if self.use_pallas == "auto" and not self._touched:
+            from ..ops.tile_merge import grid_merge_supported, pallas_grid_merge
+
+            if grid_merge_supported(
+                coords_yx_np, th, tw, self.channels,
+                (self.image_height, self.image_width), 1,
+            ):
+                self.image, self.norm_mask = pallas_grid_merge(
+                    batch, coords_yx_np, self.weight,
+                    (self.image_height, self.image_width),
+                    dtype=self.image.dtype,
+                )
+                self._touched = True
+                return
+        self._touched = True
+
         coords_yx = jnp.asarray(coords_yx_np)
-        if self.use_pallas:
+        if self.use_pallas is True:
             from ..ops.tile_merge import pallas_accumulate_tiles, pallas_merge_supported
 
-            th, tw = batch.shape[1], batch.shape[2]
             if not pallas_merge_supported(coords_yx_np, th, tw, self.channels, 1):
                 raise ValueError(
                     "Tile geometry does not satisfy Pallas DMA alignment; "

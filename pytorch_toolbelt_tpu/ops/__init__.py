@@ -1,3 +1,17 @@
-from .tile_merge import pallas_accumulate_tiles, pallas_available, pallas_merge_supported
+from .tile_merge import (
+    detect_regular_grid,
+    grid_merge_supported,
+    pallas_accumulate_tiles,
+    pallas_available,
+    pallas_grid_merge,
+    pallas_merge_supported,
+)
 
-__all__ = ["pallas_accumulate_tiles", "pallas_available", "pallas_merge_supported"]
+__all__ = [
+    "detect_regular_grid",
+    "grid_merge_supported",
+    "pallas_accumulate_tiles",
+    "pallas_available",
+    "pallas_grid_merge",
+    "pallas_merge_supported",
+]

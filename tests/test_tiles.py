@@ -241,3 +241,68 @@ def test_clear_tiled_cache():
     clear_tiled_cache()
     assert _get_tiled_plan.cache_info().currsize == 0
     assert _build_tiled_runner.cache_info().currsize == 0
+
+
+# ---------------------------------------------------------------------------
+# Gather-formulation Pallas merge (interpret mode on CPU)
+# ---------------------------------------------------------------------------
+
+
+def test_detect_regular_grid():
+    from pytorch_toolbelt_tpu.ops import detect_regular_grid
+
+    # ImageSlicer geometry is always a regular grid
+    tiler = ImageSlicer((1024, 768), tile_size=256, tile_step=128, weight="mean")
+    coords_yx = tiler.crops[:, [1, 0]]
+    grid = detect_regular_grid(coords_yx, 256, 256)
+    assert grid is not None
+    ty, tx, sh, sw = grid
+    assert (ty, tx) == (7, 5) and (sh, sw) == (128, 128)
+
+    # non-uniform steps are rejected
+    bad = np.array([[0, 0], [0, 100], [0, 300]])
+    assert detect_regular_grid(bad, 256, 256) is None
+    # incomplete grids are rejected
+    assert detect_regular_grid(coords_yx[:-1], 256, 256) is None
+    # step not dividing tile size is rejected
+    t2 = ImageSlicer((500, 500), tile_size=51, tile_step=26, weight="mean")
+    assert detect_regular_grid(t2.crops[:, [1, 0]], 51, 51) is None
+
+
+@pytest.mark.parametrize("k", [1, 2, 4])
+def test_pallas_grid_merge_matches_scatter(k):
+    from pytorch_toolbelt_tpu.inference.tiles import accumulate_tiles
+    from pytorch_toolbelt_tpu.ops import pallas_grid_merge
+
+    rng = np.random.RandomState(k)
+    th = tw = 32
+    s = th // k
+    ty, tx = 3, 4
+    coords = np.array(
+        [[y * s, x * s] for y in range(ty) for x in range(tx)], dtype=np.int32
+    )
+    H = (ty - 1) * s + th
+    W = (tx - 1) * s + tw
+    c = 3
+    tiles = jnp.asarray(rng.rand(ty * tx, th, tw, c).astype(np.float32))
+    weight = rng.rand(th, tw).astype(np.float32) + 0.1
+
+    ref_c, ref_n = accumulate_tiles(
+        jnp.zeros((H, W, c)), jnp.zeros((H, W, 1)),
+        tiles, jnp.asarray(coords), jnp.asarray(weight)[..., None],
+    )
+    got_c, got_n = pallas_grid_merge(tiles, coords, weight, (H, W), interpret=True)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref_c), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_n), np.asarray(ref_n), atol=1e-5)
+
+
+def test_tile_merger_auto_falls_back_on_cpu():
+    """On non-TPU backends the auto gather path must silently fall back to
+    the XLA scatter path and still produce the exact merge."""
+    image = np.random.random((256, 256, 3)).astype(np.float32)
+    tiler = ImageSlicer(image.shape, tile_size=(64, 64), tile_step=(32, 32), weight="pyramid")
+    tiles = tiler.split(image)
+    merger = TileMerger(tiler.target_shape, channels=3, weight=tiler.weight)  # use_pallas="auto"
+    merger.integrate_batch(jnp.asarray(np.stack(tiles)), tiler.crops)
+    merged = tiler.crop_to_orignal_size(np.asarray(merger.merge()))
+    np.testing.assert_allclose(merged, image, atol=1e-4)
