@@ -15,7 +15,14 @@ import jax.numpy as jnp
 from ...core.interfaces import FeatureMapsSpec
 from .common import EncoderBase
 
-__all__ = ["DPNEncoder", "dpn68_encoder", "dpn92_encoder"]
+__all__ = [
+    "DPNEncoder",
+    "dpn68_encoder",
+    "dpn68b_encoder",
+    "dpn92_encoder",
+    "dpn107_encoder",
+    "dpn131_encoder",
+]
 
 
 class DualPathBlock(nn.Module):
@@ -26,6 +33,7 @@ class DualPathBlock(nn.Module):
     groups: int = 32
     stride: int = 1
     is_first: bool = False
+    b_style: bool = False  # DPN-B: separate res/dense output projections
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -44,9 +52,15 @@ class DualPathBlock(nn.Module):
             feature_group_count=self.groups, use_bias=False,
         )(y)
         y = jax.nn.relu(norm()(y))
-        out = nn.Conv(self.num_1x1_c + self.inc, (1, 1), use_bias=False)(y)
-        out_res = out[..., : self.num_1x1_c]
-        out_dense = out[..., self.num_1x1_c :]
+        if self.b_style:
+            # DPN-B (dpn68b/107/131 flavor): independent 1x1 projections for
+            # the residual and dense paths instead of slicing one conv
+            out_res = nn.Conv(self.num_1x1_c, (1, 1), use_bias=False)(y)
+            out_dense = nn.Conv(self.inc, (1, 1), use_bias=False)(y)
+        else:
+            out = nn.Conv(self.num_1x1_c + self.inc, (1, 1), use_bias=False)(y)
+            out_res = out[..., : self.num_1x1_c]
+            out_dense = out[..., self.num_1x1_c :]
 
         if self.is_first or self.stride > 1 or (
             isinstance(x, tuple) and x[0].shape[-1] != self.num_1x1_c
@@ -72,6 +86,8 @@ class DPNEncoder(EncoderBase):
     inc: Tuple[int, ...] = (16, 32, 24, 128)
     groups: int = 32
     stem_channels: int = 64
+    small_stem: bool = False  # dpn68-style 3x3 stem instead of 7x7
+    b_style: bool = False
     layers: Optional[Tuple[int, ...]] = None
 
     def _stage_channels(self) -> Tuple[int, ...]:
@@ -91,7 +107,10 @@ class DPNEncoder(EncoderBase):
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> List[jnp.ndarray]:
         outputs = []
-        x = nn.Conv(self.stem_channels, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False)(x)
+        if self.small_stem:
+            x = nn.Conv(self.stem_channels, (3, 3), strides=(2, 2), padding="SAME", use_bias=False)(x)
+        else:
+            x = nn.Conv(self.stem_channels, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not training)(x)
         x = jax.nn.relu(x)
         outputs.append(x)
@@ -110,6 +129,7 @@ class DPNEncoder(EncoderBase):
                     groups=self.groups,
                     stride=(2 if stage > 0 and i == 0 else 1),
                     is_first=(i == 0),
+                    b_style=self.b_style,
                 )(state, training=training)
             outputs.append(jnp.concatenate(state, axis=-1))
 
@@ -126,8 +146,14 @@ def dpn68_encoder(**kwargs):
         inc=(16, 32, 32, 64),
         groups=32,
         stem_channels=10,
+        small_stem=True,
         **kwargs,
     )
+
+
+def dpn68b_encoder(**kwargs):
+    """dpn68 with B-style blocks (capability target: timm/dpn.py:37-59)."""
+    return dpn68_encoder(b_style=True, **kwargs)
 
 
 def dpn92_encoder(**kwargs):
@@ -138,5 +164,32 @@ def dpn92_encoder(**kwargs):
         inc=(16, 32, 24, 128),
         groups=32,
         stem_channels=64,
+        **kwargs,
+    )
+
+
+def dpn107_encoder(**kwargs):
+    """Capability target: timm/dpn.py:83-105."""
+    return DPNEncoder(
+        stage_blocks=(4, 8, 20, 3),
+        base_width=(200, 400, 800, 1600),
+        res_width=(256, 512, 1024, 2048),
+        inc=(20, 64, 64, 128),
+        groups=50,
+        stem_channels=128,
+        b_style=True,
+        **kwargs,
+    )
+
+
+def dpn131_encoder(**kwargs):
+    """Capability target: timm/dpn.py:106-125."""
+    return DPNEncoder(
+        stage_blocks=(4, 8, 28, 3),
+        base_width=(160, 320, 640, 1280),
+        res_width=(256, 512, 1024, 2048),
+        inc=(16, 32, 32, 128),
+        groups=40,
+        stem_channels=128,
         **kwargs,
     )

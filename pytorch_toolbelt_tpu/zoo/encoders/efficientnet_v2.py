@@ -16,7 +16,12 @@ from ...core.interfaces import FeatureMapsSpec
 from .common import EncoderBase
 from .efficientnet import MBConv
 
-__all__ = ["EfficientNetV2Encoder", "efficientnet_v2_s_encoder", "efficientnet_v2_m_encoder"]
+__all__ = [
+    "EfficientNetV2Encoder",
+    "efficientnet_v2_s_encoder",
+    "efficientnet_v2_m_encoder",
+    "efficientnet_v2_l_encoder",
+]
 
 
 class FusedMBConv(nn.Module):
@@ -66,15 +71,30 @@ _V2_M = [
     ("mb", 4, 160, 7, 2),
     ("mb", 6, 176, 14, 1),
     ("mb", 6, 304, 18, 2),
+    ("mb", 6, 512, 5, 1),
+]
+_V2_L = [
+    ("fused", 1, 32, 4, 1),
+    ("fused", 4, 64, 7, 2),
+    ("fused", 4, 96, 7, 2),
+    ("mb", 4, 192, 10, 2),
+    ("mb", 6, 224, 19, 1),
+    ("mb", 6, 384, 25, 2),
+    ("mb", 6, 640, 7, 1),
 ]
 
 
 class EfficientNetV2Encoder(EncoderBase):
     config_name: str = "s"
+    # optional custom stage table [(kind, expand, channels, blocks, stride), ...]
+    # overriding the named config (useful for depth-reduced experiments)
+    config_override: Optional[Tuple[Tuple, ...]] = None
     layers: Optional[Tuple[int, ...]] = None
 
     def _config(self):
-        return _V2_S if self.config_name == "s" else _V2_M
+        if self.config_override is not None:
+            return self.config_override
+        return {"s": _V2_S, "m": _V2_M, "l": _V2_L}[self.config_name]
 
     def _snapshot_channels(self) -> Tuple[int, ...]:
         config = self._config()
@@ -127,3 +147,8 @@ def efficientnet_v2_s_encoder(**kwargs):
 
 def efficientnet_v2_m_encoder(**kwargs):
     return EfficientNetV2Encoder(config_name="m", **kwargs)
+
+
+def efficientnet_v2_l_encoder(**kwargs):
+    """Capability target: timm/efficient_net_v2.py:47 (tf_efficientnetv2_l)."""
+    return EfficientNetV2Encoder(config_name="l", **kwargs)

@@ -18,7 +18,14 @@ from ...core.interfaces import FeatureMapsSpec
 from .common import EncoderBase
 from .efficientnet import MBConv
 
-__all__ = ["MaxViTEncoder", "maxvit_tiny_encoder", "maxvit_small_encoder"]
+__all__ = [
+    "MaxViTEncoder",
+    "maxvit_tiny_encoder",
+    "maxvit_small_encoder",
+    "maxvit_base_encoder",
+    "maxvit_large_encoder",
+    "maxvit_xlarge_encoder",
+]
 
 
 class _Attention(nn.Module):
@@ -148,3 +155,25 @@ def maxvit_tiny_encoder(**kwargs):
 
 def maxvit_small_encoder(**kwargs):
     return MaxViTEncoder(stage_channels=(96, 192, 384, 768), stage_blocks=(2, 2, 5, 2), **kwargs)
+
+
+def maxvit_base_encoder(**kwargs):
+    """MaxViT-B (arXiv:2204.01697 table 1; capability target timm/maxvit.py:4)."""
+    return MaxViTEncoder(
+        stem_channels=64, stage_channels=(96, 192, 384, 768), stage_blocks=(2, 6, 14, 2),
+        num_heads=(3, 6, 12, 24), **kwargs
+    )
+
+
+def maxvit_large_encoder(**kwargs):
+    return MaxViTEncoder(
+        stem_channels=128, stage_channels=(128, 256, 512, 1024), stage_blocks=(2, 6, 14, 2),
+        num_heads=(4, 8, 16, 32), **kwargs
+    )
+
+
+def maxvit_xlarge_encoder(**kwargs):
+    return MaxViTEncoder(
+        stem_channels=192, stage_channels=(192, 384, 768, 1536), stage_blocks=(2, 6, 14, 2),
+        num_heads=(6, 12, 24, 48), **kwargs
+    )

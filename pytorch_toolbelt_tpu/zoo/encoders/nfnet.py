@@ -21,7 +21,18 @@ __all__ = [
     "NFNetEncoder",
     "nfnet_f0_encoder",
     "nfnet_f1_encoder",
+    "nfnet_f2_encoder",
+    "nfnet_f3_encoder",
+    "nfnet_f4_encoder",
+    "nfnet_f5_encoder",
+    "nfnet_f6_encoder",
+    "nfnet_f7_encoder",
     "nf_regnet_b0_encoder",
+    "nf_regnet_b1_encoder",
+    "nf_regnet_b2_encoder",
+    "nf_regnet_b3_encoder",
+    "nf_regnet_b4_encoder",
+    "nf_regnet_b5_encoder",
 ]
 
 _GELU_GAMMA = 1.7015043497085571  # variance-preserving gelu gain
@@ -150,13 +161,70 @@ class NFNetEncoder(EncoderBase):
         return outputs
 
 
+# NFNet F-series depths are F0's (1, 2, 6, 3) scaled by N+1
+# (arXiv:2102.06171 table 1; capability target timm/nfnet.py:15-127)
+
+
+def _nfnet_f(n, **kwargs):
+    base = (1, 2, 6, 3)
+    return NFNetEncoder(stage_blocks=tuple(b * (n + 1) for b in base), **kwargs)
+
+
 def nfnet_f0_encoder(**kwargs):
-    return NFNetEncoder(stage_blocks=(1, 2, 6, 3), **kwargs)
+    return _nfnet_f(0, **kwargs)
 
 
 def nfnet_f1_encoder(**kwargs):
-    return NFNetEncoder(stage_blocks=(2, 4, 12, 6), **kwargs)
+    return _nfnet_f(1, **kwargs)
+
+
+def nfnet_f2_encoder(**kwargs):
+    return _nfnet_f(2, **kwargs)
+
+
+def nfnet_f3_encoder(**kwargs):
+    return _nfnet_f(3, **kwargs)
+
+
+def nfnet_f4_encoder(**kwargs):
+    return _nfnet_f(4, **kwargs)
+
+
+def nfnet_f5_encoder(**kwargs):
+    return _nfnet_f(5, **kwargs)
+
+
+def nfnet_f6_encoder(**kwargs):
+    return _nfnet_f(6, **kwargs)
+
+
+def nfnet_f7_encoder(**kwargs):
+    return _nfnet_f(7, **kwargs)
+
+
+# NF-RegNet B-series (capability target timm/nf_regnet.py:14-85; configs
+# follow timm's nf_regnet_b0..b5 depth/width progression)
 
 
 def nf_regnet_b0_encoder(**kwargs):
     return NFNetEncoder(stage_blocks=(1, 3, 6, 6), stage_channels=(48, 104, 208, 440), **kwargs)
+
+
+def nf_regnet_b1_encoder(**kwargs):
+    return NFNetEncoder(stage_blocks=(2, 4, 7, 7), stage_channels=(48, 104, 208, 440), **kwargs)
+
+
+def nf_regnet_b2_encoder(**kwargs):
+    return NFNetEncoder(stage_blocks=(2, 4, 8, 8), stage_channels=(56, 112, 232, 488), **kwargs)
+
+
+def nf_regnet_b3_encoder(**kwargs):
+    return NFNetEncoder(stage_blocks=(2, 5, 9, 9), stage_channels=(56, 128, 248, 528), **kwargs)
+
+
+def nf_regnet_b4_encoder(**kwargs):
+    return NFNetEncoder(stage_blocks=(2, 6, 11, 11), stage_channels=(64, 144, 288, 610), **kwargs)
+
+
+def nf_regnet_b5_encoder(**kwargs):
+    return NFNetEncoder(stage_blocks=(3, 7, 14, 14), stage_channels=(80, 168, 336, 704), **kwargs)

@@ -32,6 +32,13 @@ __all__ = [
     "seresnet152_encoder",
     "seresnext50_encoder",
     "seresnext101_encoder",
+    "resnet26d_encoder",
+    "resnet50d_encoder",
+    "resnet101d_encoder",
+    "resnet152d_encoder",
+    "resnet200d_encoder",
+    "seresnet152d_encoder",
+    "swsl_resnext101_encoder",
 ]
 
 
@@ -83,6 +90,7 @@ class Bottleneck(nn.Module):
     use_se: bool = False
     se_reduction: int = 16
     expansion: int = 4
+    avg_down: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -103,9 +111,16 @@ class Bottleneck(nn.Module):
         if self.use_se:
             y = _SEModule(self.se_reduction)(y)
         if residual.shape != y.shape:
+            shortcut_in = x
+            if self.avg_down and self.stride > 1:
+                # ResNet-D trick (timm resnet.py:26-228 presets): anti-aliased
+                # shortcut = avg-pool then stride-1 1x1 conv
+                shortcut_in = nn.avg_pool(x, (2, 2), strides=(2, 2))
             residual = nn.Conv(
-                self.out_channels, (1, 1), strides=(self.stride, self.stride), use_bias=False
-            )(x)
+                self.out_channels, (1, 1),
+                strides=(1, 1) if (self.avg_down and self.stride > 1) else (self.stride, self.stride),
+                use_bias=False,
+            )(shortcut_in)
             residual = norm()(residual)
         return jax.nn.relu(y + residual)
 
@@ -119,6 +134,8 @@ class ResNetEncoder(EncoderBase):
     base_width: int = 64
     use_se: bool = False
     stem_channels: int = 64
+    deep_stem: bool = False  # ResNet-D: three 3x3 convs instead of one 7x7
+    avg_down: bool = False   # ResNet-D: avg-pool + 1x1 shortcut downsample
     layers: Optional[Tuple[int, ...]] = None  # subset of feature maps to return
 
     def _stage_channels(self) -> Tuple[int, ...]:
@@ -138,8 +155,19 @@ class ResNetEncoder(EncoderBase):
         block_cls = Bottleneck if self.bottleneck else BasicBlock
         outputs = []
 
-        # stem: 7x7/2 conv + BN + relu
-        x = nn.Conv(self.stem_channels, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False)(x)
+        if self.deep_stem:
+            # ResNet-D deep stem (timm resnet.py:26-228): 3x3/2 -> 3x3 -> 3x3
+            mid = self.stem_channels // 2
+            x = nn.Conv(mid, (3, 3), strides=(2, 2), padding="SAME", use_bias=False)(x)
+            x = nn.BatchNorm(use_running_average=not training)(x)
+            x = jax.nn.relu(x)
+            x = nn.Conv(mid, (3, 3), padding="SAME", use_bias=False)(x)
+            x = nn.BatchNorm(use_running_average=not training)(x)
+            x = jax.nn.relu(x)
+            x = nn.Conv(self.stem_channels, (3, 3), padding="SAME", use_bias=False)(x)
+        else:
+            # stem: 7x7/2 conv + BN + relu
+            x = nn.Conv(self.stem_channels, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not training)(x)
         x = jax.nn.relu(x)
         outputs.append(x)
@@ -156,7 +184,8 @@ class ResNetEncoder(EncoderBase):
                     use_se=self.use_se,
                 )
                 if self.bottleneck:
-                    kwargs.update(groups=self.groups, base_width=self.base_width)
+                    kwargs.update(groups=self.groups, base_width=self.base_width,
+                                  avg_down=self.avg_down)
                 x = block_cls(**kwargs)(x, training=training)
             outputs.append(x)
 
@@ -206,4 +235,45 @@ def seresnext50_encoder(**kwargs) -> ResNetEncoder:
 def seresnext101_encoder(**kwargs) -> ResNetEncoder:
     return ResNetEncoder(
         stage_blocks=(3, 4, 23, 3), bottleneck=True, use_se=True, groups=32, base_width=4, **kwargs
+    )
+
+
+# -- ResNet-D deep-stem family (capability target: timm/resnet.py:139-228) --
+
+
+def _resnet_d(stage_blocks, **kwargs) -> ResNetEncoder:
+    return ResNetEncoder(
+        stage_blocks=stage_blocks, bottleneck=True, deep_stem=True, avg_down=True, **kwargs
+    )
+
+
+def resnet26d_encoder(**kwargs) -> ResNetEncoder:
+    return _resnet_d((2, 2, 2, 2), **kwargs)
+
+
+def resnet50d_encoder(**kwargs) -> ResNetEncoder:
+    return _resnet_d((3, 4, 6, 3), **kwargs)
+
+
+def resnet101d_encoder(**kwargs) -> ResNetEncoder:
+    return _resnet_d((3, 4, 23, 3), **kwargs)
+
+
+def resnet152d_encoder(**kwargs) -> ResNetEncoder:
+    return _resnet_d((3, 8, 36, 3), **kwargs)
+
+
+def resnet200d_encoder(**kwargs) -> ResNetEncoder:
+    return _resnet_d((3, 24, 36, 3), **kwargs)
+
+
+def seresnet152d_encoder(**kwargs) -> ResNetEncoder:
+    return _resnet_d((3, 8, 36, 3), use_se=True, **kwargs)
+
+
+def swsl_resnext101_encoder(**kwargs) -> ResNetEncoder:
+    """ResNeXt101 32x8d architecture (the SWSL preset differs only in its
+    pretrained weights, timm/resnet.py:106-136)."""
+    return ResNetEncoder(
+        stage_blocks=(3, 4, 23, 3), bottleneck=True, groups=32, base_width=8, **kwargs
     )

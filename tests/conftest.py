@@ -20,13 +20,27 @@ import types
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# This box has a single (shared) CPU core and the suite is dominated by XLA
+# CPU compiles; turning off backend optimization halves compile time without
+# changing numerics (fast-math stays off — parity oracles still hold).
+if "xla_backend_optimization_level" not in flags:
+    flags += " --xla_backend_optimization_level=0 --xla_llvm_disable_expensive_passes=true"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", "tests must run on the virtual CPU mesh"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for sharding tests"
+
+# Persistent compilation cache: this box has ONE cpu core, so XLA compiles
+# dominate suite runtime; caching them across runs (and across pytest
+# processes) is the difference between minutes and tens of minutes.
+_cache_dir = os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/ptb_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 REFERENCE_PATH = "/root/reference"
 _reference_available = None
