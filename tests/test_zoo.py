@@ -35,11 +35,12 @@ def run_encoder(encoder, size=64, in_channels=3):
     ],
 )
 def test_resnet_encoders(factory, stem_c, stage1_c):
+    # preset identity only — forwards for this family run in
+    # test_encoders.py (minimal fast tier + full presets under -m slow)
     encoder = factory()
     spec = encoder.get_output_spec()
     assert spec.strides == (2, 4, 8, 16, 32)
     assert spec.channels[0] == stem_c and spec.channels[1] == stage1_c
-    run_encoder(encoder, size=64)
 
 
 def test_resnet_encoder_layer_subset():
