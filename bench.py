@@ -68,10 +68,10 @@ def main():
     image = jnp.asarray(rng.rand(IMAGE_SIZE, IMAGE_SIZE, 3).astype(np.float32))
     megapixels = (IMAGE_SIZE * IMAGE_SIZE) / 1e6
 
-    def run():
+    def run(img):
         return tiled_apply_d4_tta(
             forward,
-            image,
+            img,
             tile_size=TILE_SIZE,
             tile_step=TILE_STEP,
             weight="pyramid",
@@ -79,14 +79,24 @@ def main():
             mode="distributed",
         )
 
-    # warmup / compile
-    out = run()
+    # Iterations are CHAINED (each input depends on the previous output) so
+    # every timed step is genuinely fresh device work: the TPU relay in this
+    # environment deduplicates identical (executable, args) executions, which
+    # would otherwise make repeat-same-input timing loops report cached
+    # results.  The perturbation is a single fused scalar multiply (~0.1 ms),
+    # negligible against the ~1 s pipeline.
+    perturb = jax.jit(lambda img, out: img * (1.0 + 1e-6 * out[0, 0, 0]))
+
+    # warmup / compile (one chained step so the perturb program is also warm)
+    out = run(image)
+    image = perturb(image, out)
     out.block_until_ready()
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = run()
+        out = run(image)
+        image = perturb(image, out)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     mps = megapixels / dt
@@ -110,18 +120,20 @@ def main():
         def forward_d4(tiles):
             return d4_image2mask(forward, tiles)
 
-        def run_sharded():
+        def run_sharded(img):
             return tiled_apply_sharded(
-                forward_d4, image, mesh,
+                forward_d4, img, mesh,
                 tile_size=TILE_SIZE, tile_step=TILE_STEP,
                 weight="pyramid", batch_size=8,
             )
 
-        out = run_sharded()
+        out = run_sharded(image)
+        image = perturb(image, out)
         out.block_until_ready()
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = run_sharded()
+            out = run_sharded(image)
+            image = perturb(image, out)
         out.block_until_ready()
         sharded_dt = (time.perf_counter() - t0) / iters
         result["multichip_mps"] = round(megapixels / sharded_dt, 2)

@@ -96,6 +96,37 @@ def test_change_stem_input_channels():
     assert maps[0].shape == (1, 32, 32, 8)
 
 
+def test_stem_surgery_ws_and_same_padded_stems():
+    """Stem surgery on the hard stem flavors the reference special-cases
+    (timm/common.py:41 Conv2dSame, efficient_net.py:33, nfnet WSConv):
+    auto-discovered path, weight-standardized and same-padded stems, with a
+    forward at the new channel count."""
+    from pytorch_toolbelt_tpu.zoo import EfficientNetV2Encoder, NFNetEncoder, find_stem_kernel_path
+
+    x3 = jnp.zeros((1, 32, 32, 3))
+    x5 = jnp.zeros((1, 32, 32, 5))
+    for encoder in [
+        NFNetEncoder(stage_blocks=(1, 1, 1, 1), stage_channels=(32, 32, 32, 32)),
+        EfficientNetV2Encoder(
+            config_override=(
+                ("fused", 1, 8, 1, 1),
+                ("fused", 2, 16, 1, 2),
+                ("mb", 2, 16, 1, 2),
+                ("mb", 2, 16, 1, 2),
+                ("mb", 2, 16, 1, 2),
+            )
+        ),
+    ]:
+        variables = encoder.init({"params": KEY, "dropout": KEY}, x3)
+        path = find_stem_kernel_path(variables)
+        assert path[-1] == "kernel"
+        new_vars = change_stem_input_channels(variables, None, 5)
+        maps5 = encoder.apply(new_vars, x5)
+        maps3 = encoder.apply(variables, x3)
+        assert [m.shape[-1] for m in maps5] == [m.shape[-1] for m in maps3]
+        assert all(np.all(np.isfinite(np.asarray(m))) for m in maps5)
+
+
 def test_sharded_training_step_on_mesh():
     """Full training step sharded over an 8-device (data x spatial) mesh."""
     assert len(jax.devices()) == 8
