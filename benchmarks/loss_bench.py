@@ -5,6 +5,13 @@ Reports effective GB/s: bytes of (logits + grad) moved per second through a
 jitted value_and_grad of each loss. Run on the TPU chip:
 
     python benchmarks/loss_bench.py
+
+Timing methodology: iterations are CHAINED — each step's logits depend on
+the previous step's gradient — because the axon TPU relay in this
+environment deduplicates identical (executable, args) executions, so a
+repeat-same-input loop can report cached (near-zero) times.  Chaining also
+defeats async-dispatch pipelining without needing a device sync inside the
+timed region.
 """
 
 import json
@@ -23,18 +30,23 @@ from pytorch_toolbelt_tpu import losses as L
 B, H, W, C = 8, 1024, 1024, 19
 
 
-def bench_loss(name, loss_fn, logits, target, iters=10):
+def bench_loss(name, loss_fn, logits, target, iters=5):
     # target passed as an ARGUMENT: closure capture would bake it into the
     # program as a 160MB constant (blows the remote-compile payload limit)
-    vg = jax.jit(jax.value_and_grad(lambda x, t: loss_fn(x, t)))
-    value, grad = vg(logits, target)
-    jax.block_until_ready(grad)
+    @jax.jit
+    def step(x, t):
+        value, grad = jax.value_and_grad(lambda x_: loss_fn(x_, t))(x)
+        # chain: the next iteration's input depends on this gradient, so the
+        # relay cannot serve a memoized result and the device must finish
+        # this step before starting the next
+        return x + 1e-4 * grad, value, grad
+
+    x, value, grad = step(logits, target)
+    jax.block_until_ready(x)
     t0 = time.perf_counter()
     for _ in range(iters):
-        value, grad = vg(logits, target)
-        # block EVERY iteration: on the axon relay, a single trailing block
-        # under-reports badly due to async dispatch pipelining
-        jax.block_until_ready(grad)
+        x, value, grad = step(x, target)
+    jax.block_until_ready(x)
     dt = (time.perf_counter() - t0) / iters
     gb = (logits.size + grad.size) * 4 / 1e9  # fp32 read + grad write
     return {"loss": name, "ms": round(dt * 1e3, 2), "GB/s": round(gb / dt, 1), "value": float(value)}

@@ -102,7 +102,10 @@ def main(steps: int = 20, batch: int = 8, size: int = 128):
     # inference: tiled + d4 TTA on a big synthetic image
     trained = {"params": params, "batch_stats": batch_stats}
     infer = lambda tiles: model.apply(trained, tiles)
-    big_image = jnp.asarray(np.random.RandomState(7).rand(512, 512, 3).astype(np.float32))
+    # prediction canvas scales with the train tile so the smoke-test config
+    # (size=32) stays a handful of tiles while the default is a real 512 map
+    big = size * 4
+    big_image = jnp.asarray(np.random.RandomState(7).rand(big, big, 3).astype(np.float32))
     merged = tiled_apply(
         lambda t: d4_image2mask(infer, t), big_image,
         tile_size=size, tile_step=size // 2, weight="pyramid", batch_size=4,

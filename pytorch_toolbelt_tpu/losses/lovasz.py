@@ -24,10 +24,38 @@ from typing import Optional, Sequence, Union
 import jax
 import jax.numpy as jnp
 
+from ..ops.sort import bitonic_sort_chunked, chunked_sort_supported
+
 __all__ = ["BinaryLovaszLoss", "LovaszLoss", "binary_lovasz_hinge", "lovasz_softmax"]
 
 _SENTINEL = -1e30  # invalid pixels sort below any finite error
 _FG_BIT = 30       # foreground flag packed above the 30-bit position field
+_CHUNK = 1 << 17   # VMEM chunk for the (opt-in) Pallas chunked-bitonic sort
+
+# Opt-in: route the two big sorts through ops/sort.py's VMEM-chunked Pallas
+# bitonic network instead of lax.sort.  Measured on v5e at the BASELINE
+# config-4 shape [19, 2^23] both implementations land on the same wall
+# (793 ms vs 750 ms steady): comparison sorting is VMEM-bandwidth-bound
+# (~N log^2 N / 2 = 44G compare-exchanges ~ 1 TB of VMEM traffic), so the
+# Pallas network matches — but does not beat — XLA's sort, and stays off by
+# default.  See benchmarks/RESULTS.md "Lovasz and the sorting roofline".
+USE_CHUNKED_SORT = False
+
+
+def _sort2(keys: jnp.ndarray, payload: jnp.ndarray):
+    """Ascending 2-operand sort along the last axis (lax.sort, or the Pallas
+    chunked network when ``USE_CHUNKED_SORT`` and the geometry qualifies)."""
+    if (
+        USE_CHUNKED_SORT
+        and keys.ndim in (1, 2)
+        and chunked_sort_supported(keys.shape[-1], _CHUNK)
+        and jax.default_backend() == "tpu"
+    ):
+        if keys.ndim == 1:
+            ks, ps = bitonic_sort_chunked(keys[None], payload[None], chunk_size=_CHUNK)
+            return ks[0], ps[0]
+        return bitonic_sort_chunked(keys, payload, chunk_size=_CHUNK)
+    return jax.lax.sort((keys, payload), dimension=-1, num_keys=1)
 
 
 def _lovasz_grad_terms(gt_sorted: jnp.ndarray, valid_sorted: jnp.ndarray) -> jnp.ndarray:
@@ -70,9 +98,7 @@ def _lovasz_dot_fwd(errors_masked, fg, hinge):
         raise ValueError(f"Lovasz sort supports up to 2^{_FG_BIT} pixels per row, got {p}")
     iota = jax.lax.broadcasted_iota(jnp.int32, errors_masked.shape, errors_masked.ndim - 1)
     packed = jnp.where(fg > 0.5, iota | (1 << _FG_BIT), iota)
-    neg_sorted, packed_sorted = jax.lax.sort(
-        (-errors_masked, packed), dimension=-1, num_keys=1
-    )
+    neg_sorted, packed_sorted = _sort2(-errors_masked, packed)
     errors_sorted = -neg_sorted
     fg_sorted = (packed_sorted >> _FG_BIT).astype(errors_masked.dtype)
     perm = packed_sorted & ((1 << _FG_BIT) - 1)
@@ -90,7 +116,7 @@ def _lovasz_dot_fwd(errors_masked, fg, hinge):
 def _lovasz_dot_bwd(hinge, res, ct):
     perm, w_eff = res
     # apply the inverse permutation via one batched 2-operand sort
-    _, w_unsorted = jax.lax.sort((perm, w_eff), dimension=-1, num_keys=1)
+    _, w_unsorted = _sort2(perm, w_eff)
     d_errors = ct[..., None] * w_unsorted
     return d_errors, jnp.zeros_like(w_eff)
 

@@ -1,3 +1,4 @@
+from .sort import bitonic_sort_chunked, chunked_sort_supported
 from .tile_merge import (
     detect_regular_grid,
     grid_merge_supported,
@@ -8,6 +9,8 @@ from .tile_merge import (
 )
 
 __all__ = [
+    "bitonic_sort_chunked",
+    "chunked_sort_supported",
     "detect_regular_grid",
     "grid_merge_supported",
     "pallas_accumulate_tiles",

@@ -97,8 +97,12 @@ _MINIMAL = {
     ),
     "squeezenet": lambda: zoo.squeezenet_encoder(),
     "mobilenet_v3": lambda: zoo.mobilenet_v3_small_encoder(),
-    "efficientnet": lambda: zoo.efficientnet_b0_encoder(),
-    "mixnet": lambda: zoo.mixnet_s_encoder(),
+    # depth_mult=0.01 -> 1 block per stage (B0..B7 identity via spec checks;
+    # full presets under -m slow)
+    "efficientnet": lambda: zoo.EfficientNetEncoder(width_mult=1.0, depth_mult=0.01),
+    # depth_mult=0.01 -> ceil rounds every stage to 1 block (preset identity
+    # for S/M/XL is asserted via spec checks; full presets run under -m slow)
+    "mixnet": lambda: zoo.MixNetEncoder(width_mult=1.0, depth_mult=0.01),
 }
 
 

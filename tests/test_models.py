@@ -106,14 +106,12 @@ def test_stem_surgery_ws_and_same_padded_stems():
     x3 = jnp.zeros((1, 32, 32, 3))
     x5 = jnp.zeros((1, 32, 32, 5))
     for encoder in [
-        NFNetEncoder(stage_blocks=(1, 1, 1, 1), stage_channels=(32, 32, 32, 32)),
+        NFNetEncoder(stage_blocks=(1, 1, 1, 1), stage_channels=(16, 16, 16, 16)),
         EfficientNetV2Encoder(
             config_override=(
                 ("fused", 1, 8, 1, 1),
-                ("fused", 2, 16, 1, 2),
-                ("mb", 2, 16, 1, 2),
-                ("mb", 2, 16, 1, 2),
-                ("mb", 2, 16, 1, 2),
+                ("fused", 2, 8, 1, 2),
+                ("mb", 2, 8, 1, 2),
             )
         ),
     ]:
@@ -190,4 +188,18 @@ def test_graft_entry():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (1, 256, 256, 1)
+    # 2-device dryrun catches the tracer/sharding bug class cheaply; the full
+    # 4x2-mesh dryrun runs under -m slow (and the driver runs it every round)
+    mod.dryrun_multichip(2)
+
+
+@pytest.mark.slow
+def test_graft_entry_full_mesh():
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry_full", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)

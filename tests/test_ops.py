@@ -75,3 +75,67 @@ def test_tile_merger_pallas_path_interpret():
         np.testing.assert_allclose(merged, image, atol=1e-5)
     finally:
         tm.pallas_accumulate_tiles = orig
+
+
+# ---------------------------------------------------------------------------
+# Chunked bitonic sort (ops/sort.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not pallas_available(), reason="pallas not importable")
+@pytest.mark.parametrize("rows,n,chunk", [(3, 4096, 512), (1, 2048, 256), (5, 1024, 512)])
+def test_chunked_sort_matches_lax_sort(rows, n, chunk):
+    from pytorch_toolbelt_tpu.ops import bitonic_sort_chunked
+
+    rng = np.random.RandomState(0)
+    keys = jnp.asarray(rng.randn(rows, n).astype(np.float32))
+    payload = jnp.asarray(np.tile(np.arange(n, dtype=np.int32), (rows, 1)))
+
+    ks, ps = bitonic_sort_chunked(keys, payload, chunk_size=chunk, interpret=True)
+    ref_k, ref_p = jax.lax.sort((keys, payload), dimension=-1, num_keys=1)
+    np.testing.assert_array_equal(np.asarray(ks), np.asarray(ref_k))
+    np.testing.assert_array_equal(np.asarray(ps), np.asarray(ref_p))
+
+
+@pytest.mark.skipif(not pallas_available(), reason="pallas not importable")
+def test_chunked_sort_int_keys_and_fallback():
+    from pytorch_toolbelt_tpu.ops import bitonic_sort_chunked
+
+    rng = np.random.RandomState(1)
+    # int32 keys carrying f32 payload (the Lovasz backward configuration)
+    perm = np.stack([rng.permutation(2048).astype(np.int32) for _ in range(2)])
+    w = rng.randn(2, 2048).astype(np.float32)
+    ks, ps = bitonic_sort_chunked(jnp.asarray(perm), jnp.asarray(w), chunk_size=256, interpret=True)
+    ref_k, ref_p = jax.lax.sort((jnp.asarray(perm), jnp.asarray(w)), dimension=-1, num_keys=1)
+    np.testing.assert_array_equal(np.asarray(ks), np.asarray(ref_k))
+    np.testing.assert_array_equal(np.asarray(ps), np.asarray(ref_p))
+
+    # non-power-of-two rows fall back to lax.sort
+    keys = jnp.asarray(rng.randn(2, 3000).astype(np.float32))
+    payload = jnp.zeros((2, 3000), jnp.int32)
+    ks, _ = bitonic_sort_chunked(keys, payload, chunk_size=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ks), np.sort(np.asarray(keys), axis=-1))
+
+
+@pytest.mark.skipif(not pallas_available(), reason="pallas not importable")
+def test_chunked_sort_hierarchical_levels():
+    """Exercise the multi-level phase-1 path (base sort + range-merge kernel)
+    by shrinking the base chunk below chunk_size."""
+    import pytorch_toolbelt_tpu.ops.sort as srt
+
+    rng = np.random.RandomState(3)
+    # distinct keys: payload order under ties is unspecified (unstable sort,
+    # same as lax.sort), so exact-equality oracles need collision-free keys
+    keys = jnp.asarray(
+        np.stack([rng.permutation(16384) for _ in range(2)]).astype(np.float32)
+    )
+    payload = jnp.asarray(np.tile(np.arange(16384, dtype=np.int32), (2, 1)))
+    old = srt._BASE
+    srt._BASE = 1024
+    try:
+        ks, ps = srt.bitonic_sort_chunked(keys, payload, chunk_size=8192, interpret=True)
+    finally:
+        srt._BASE = old
+    ref_k, ref_p = jax.lax.sort((keys, payload), dimension=-1, num_keys=1)
+    np.testing.assert_array_equal(np.asarray(ks), np.asarray(ref_k))
+    np.testing.assert_array_equal(np.asarray(ps), np.asarray(ref_p))
