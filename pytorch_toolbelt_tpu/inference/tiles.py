@@ -127,17 +127,40 @@ class ImageSlicer:
 
     # -- host-side split/merge ------------------------------------------------
 
-    def _pad_image(self, image: np.ndarray, value=0) -> np.ndarray:
+    # cv2.BORDER_* int codes and their string names -> numpy pad modes
+    # (reference iter_split/split take cv2 border_type, tiles.py:144-191)
+    _BORDER_MODES = {
+        0: "constant", "constant": "constant",
+        1: "edge", "replicate": "edge",
+        2: "symmetric", "reflect": "symmetric",
+        3: "wrap", "wrap": "wrap",
+        4: "reflect", "reflect101": "reflect", "reflect_101": "reflect",
+    }
+
+    @classmethod
+    def _np_pad(cls, array: np.ndarray, pad, border_type, value):
+        try:
+            mode = cls._BORDER_MODES[border_type]
+        except KeyError:
+            raise ValueError(
+                f"Unsupported border_type {border_type!r}; use a cv2.BORDER_* code or one of "
+                "'constant', 'replicate', 'reflect', 'wrap', 'reflect101'"
+            ) from None
+        if mode == "constant":
+            return np.pad(array, pad, mode="constant", constant_values=value)
+        return np.pad(array, pad, mode=mode)
+
+    def _pad_image(self, image: np.ndarray, value=0, border_type="constant") -> np.ndarray:
         pad = [(self.margin_top, self.margin_bottom), (self.margin_left, self.margin_right)]
         if image.ndim == 3:
             pad.append((0, 0))
-        return np.pad(image, pad, mode="constant", constant_values=value)
+        return self._np_pad(image, pad, border_type, value)
 
-    def split(self, image: np.ndarray, value=0) -> List[np.ndarray]:
+    def split(self, image: np.ndarray, value=0, border_type="constant") -> List[np.ndarray]:
         assert image.shape[0] == self.image_height
         assert image.shape[1] == self.image_width
         orig_ndim = image.ndim
-        image = self._pad_image(image, value)
+        image = self._pad_image(image, value, border_type)
         if image.ndim != orig_ndim:
             image = np.expand_dims(image, axis=-1)
 
@@ -149,20 +172,20 @@ class ImageSlicer:
             tiles.append(tile)
         return tiles
 
-    def iter_split(self, image: np.ndarray, value=0):
+    def iter_split(self, image: np.ndarray, value=0, border_type="constant"):
         """Yield (tile, coords) one at a time without padding the whole image
         (reference tiles.py:144-175)."""
         if image.shape[0] != self.image_height or image.shape[1] != self.image_width:
             raise ValueError()
         for coords, crop_coords in zip(self.crops, self.bbox_crops):
-            yield self.cut_patch_by_bbox(image, crop_coords, value), coords
+            yield self.cut_patch_by_bbox(image, crop_coords, value, border_type), coords
 
-    def cut_patch(self, image: np.ndarray, slice_index: int, value=0) -> np.ndarray:
+    def cut_patch(self, image: np.ndarray, slice_index: int, value=0, border_type="constant") -> np.ndarray:
         assert image.shape[0] == self.image_height
         assert image.shape[1] == self.image_width
-        return self.cut_patch_by_bbox(image, self.bbox_crops[slice_index], value)
+        return self.cut_patch_by_bbox(image, self.bbox_crops[slice_index], value, border_type)
 
-    def cut_patch_by_bbox(self, image: np.ndarray, crop_coords, value=0) -> np.ndarray:
+    def cut_patch_by_bbox(self, image: np.ndarray, crop_coords, value=0, border_type="constant") -> np.ndarray:
         x, y, tile_width, tile_height = crop_coords
         x1, y1 = max(x, 0), max(y, 0)
         x2 = min(image.shape[1], x + tile_width)
@@ -176,7 +199,7 @@ class ImageSlicer:
             ]
             if tile.ndim == 3:
                 pad.append((0, 0))
-            tile = np.pad(tile, pad, mode="constant", constant_values=value)
+            tile = self._np_pad(tile, pad, border_type, value)
             if tile.ndim != orig_ndim:
                 tile = np.expand_dims(tile, axis=-1)
         return tile

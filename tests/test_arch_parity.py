@@ -108,31 +108,48 @@ def _torch_senet_features(encoder, x):
     return feats
 
 
-@pytest.mark.parametrize(
-    "preset",
-    ["se_resnet50", "se_resnext50_32x4d", "senet154"],
-)
-def test_senet_family_matches_vendored_torch(preset):
+def _senet_pair(preset, stage_blocks=None):
+    """Build (torch, flax) SENet twins of one flavor, optionally
+    depth-reduced: the three block classes + both stem flavors are what the
+    porting must get right; block repeats are identical code, so
+    (1, 1, 1, 1) proves the same numerics at a fraction of the XLA compile
+    (full presets run under -m slow)."""
     import torch
 
     from pytorch_toolbelt.modules.backbone import senet as ref_senet
     from pytorch_toolbelt_tpu.zoo.encoders import senet as our_senet
-    from pytorch_toolbelt_tpu.zoo.porting import port_torch_state_dict, senet_mapping
+
+    cfg = {
+        # block class, groups, reduction, inplanes, input_3x3, dk, dp, kind, base_width
+        "se_resnet50": (ref_senet.SEResNetBottleneck, 1, 16, 64, False, 1, 0, "seresnet", 4),
+        "se_resnext50_32x4d": (ref_senet.SEResNeXtBottleneck, 32, 16, 64, False, 1, 0, "seresnext", 4),
+        "senet154": (ref_senet.SEBottleneck, 64, 16, 128, True, 3, 1, "senet", 4),
+    }[preset]
+    block, groups, reduction, inplanes, input_3x3, dk, dpad, kind, base_width = cfg
+    full_layers = {"se_resnet50": [3, 4, 6, 3], "se_resnext50_32x4d": [3, 4, 6, 3], "senet154": [3, 8, 36, 3]}[preset]
+    layers = list(stage_blocks) if stage_blocks is not None else full_layers
 
     torch.manual_seed(0)
-    ref = getattr(ref_senet, preset)(pretrained=None).eval()
-    _randomize_bn_stats(ref)
+    ref = ref_senet.SENet(
+        block, layers, groups=groups, reduction=reduction, dropout_p=None,
+        inplanes=inplanes, input_3x3=input_3x3,
+        downsample_kernel_size=dk, downsample_padding=dpad,
+    ).eval()
+    ours = our_senet.SENetEncoder(
+        kind=kind, stage_blocks=tuple(layers), groups=groups, reduction=reduction,
+        inplanes=inplanes, input_3x3=input_3x3, downsample_kernel_size=dk,
+        base_width=base_width,
+    )
+    return ref, ours
 
-    ours = {
-        "se_resnet50": our_senet.se_resnet50_encoder,
-        "se_resnext50_32x4d": our_senet.se_resnext50_encoder,
-        "senet154": our_senet.senet154_encoder,
-    }[preset]()
 
+def _check_senet_parity(ref, ours):
     import jax
 
-    size = 64
-    x = np.random.RandomState(1).rand(1, size, size, 3).astype(np.float32)
+    from pytorch_toolbelt_tpu.zoo.porting import port_torch_state_dict, senet_mapping
+
+    _randomize_bn_stats(ref)
+    x = np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32)
     variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
     mapping = senet_mapping(ours.stage_blocks, input_3x3=ours.input_3x3)
     variables = port_torch_state_dict(variables, ref.state_dict(), mapping)
@@ -140,6 +157,19 @@ def test_senet_family_matches_vendored_torch(preset):
 
     feats = _torch_senet_features(ref, x)
     _assert_features_close(out, feats, ["s2", "s4", "s8", "s16", "s32"])
+
+
+@pytest.mark.parametrize("preset", ["se_resnet50", "se_resnext50_32x4d", "senet154"])
+def test_senet_family_matches_vendored_torch(preset):
+    ref, ours = _senet_pair(preset, stage_blocks=(1, 1, 1, 1))
+    _check_senet_parity(ref, ours)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("preset", ["se_resnet50", "se_resnext50_32x4d", "senet154"])
+def test_senet_family_matches_vendored_torch_full(preset):
+    ref, ours = _senet_pair(preset)
+    _check_senet_parity(ref, ours)
 
 
 def test_inception_v4_matches_vendored_torch():

@@ -105,16 +105,7 @@ def test_stem_surgery_ws_and_same_padded_stems():
 
     x3 = jnp.zeros((1, 32, 32, 3))
     x5 = jnp.zeros((1, 32, 32, 5))
-    for encoder in [
-        NFNetEncoder(stage_blocks=(1, 1, 1, 1), stage_channels=(16, 16, 16, 16)),
-        EfficientNetV2Encoder(
-            config_override=(
-                ("fused", 1, 8, 1, 1),
-                ("fused", 2, 8, 1, 2),
-                ("mb", 2, 8, 1, 2),
-            )
-        ),
-    ]:
+    for encoder in _stem_surgery_cases(fast=True):
         variables = encoder.init({"params": KEY, "dropout": KEY}, x3)
         path = find_stem_kernel_path(variables)
         assert path[-1] == "kernel"
@@ -122,6 +113,36 @@ def test_stem_surgery_ws_and_same_padded_stems():
         maps5 = encoder.apply(new_vars, x5)
         maps3 = encoder.apply(variables, x3)
         assert [m.shape[-1] for m in maps5] == [m.shape[-1] for m in maps3]
+        assert all(np.all(np.isfinite(np.asarray(m))) for m in maps5)
+
+
+def _stem_surgery_cases(fast):
+    from pytorch_toolbelt_tpu.zoo import EfficientNetV2Encoder, NFNetEncoder
+
+    cases = [NFNetEncoder(stage_blocks=(1, 1, 1, 1), stage_channels=(16, 16, 16, 16))]
+    if not fast:
+        cases.append(
+            EfficientNetV2Encoder(
+                config_override=(
+                    ("fused", 1, 8, 1, 1),
+                    ("fused", 2, 8, 1, 2),
+                    ("mb", 2, 8, 1, 2),
+                )
+            )
+        )
+    return cases
+
+
+@pytest.mark.slow
+def test_stem_surgery_same_padded_stem_full():
+    from pytorch_toolbelt_tpu.zoo import find_stem_kernel_path
+
+    x3 = jnp.zeros((1, 32, 32, 3))
+    x5 = jnp.zeros((1, 32, 32, 5))
+    for encoder in _stem_surgery_cases(fast=False):
+        variables = encoder.init({"params": KEY, "dropout": KEY}, x3)
+        new_vars = change_stem_input_channels(variables, find_stem_kernel_path(variables), 5)
+        maps5 = encoder.apply(new_vars, x5)
         assert all(np.all(np.isfinite(np.asarray(m))) for m in maps5)
 
 
@@ -188,13 +209,14 @@ def test_graft_entry():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (1, 256, 256, 1)
-    # 2-device dryrun catches the tracer/sharding bug class cheaply; the full
-    # 4x2-mesh dryrun runs under -m slow (and the driver runs it every round)
-    mod.dryrun_multichip(2)
+    # the sharded-train-step compile is covered by
+    # test_sharded_training_step_on_mesh; the driver's own dryrun and the
+    # slow tier below exercise dryrun_multichip itself
 
 
 @pytest.mark.slow
-def test_graft_entry_full_mesh():
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_graft_entry_mesh_dryrun(n_devices):
     import importlib.util, pathlib
 
     spec = importlib.util.spec_from_file_location(
@@ -202,4 +224,4 @@ def test_graft_entry_full_mesh():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    mod.dryrun_multichip(8)
+    mod.dryrun_multichip(n_devices)

@@ -83,7 +83,11 @@ def test_tile_merger_pallas_path_interpret():
 
 
 @pytest.mark.skipif(not pallas_available(), reason="pallas not importable")
-@pytest.mark.parametrize("rows,n,chunk", [(3, 4096, 512), (1, 2048, 256), (5, 1024, 512)])
+@pytest.mark.parametrize(
+    "rows,n,chunk",
+    [(3, 4096, 512)]
+    + [pytest.param(*c, marks=pytest.mark.slow) for c in [(1, 2048, 256), (5, 1024, 512)]],
+)
 def test_chunked_sort_matches_lax_sort(rows, n, chunk):
     from pytorch_toolbelt_tpu.ops import bitonic_sort_chunked
 
@@ -117,6 +121,7 @@ def test_chunked_sort_int_keys_and_fallback():
     np.testing.assert_array_equal(np.asarray(ks), np.sort(np.asarray(keys), axis=-1))
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not pallas_available(), reason="pallas not importable")
 def test_chunked_sort_hierarchical_levels():
     """Exercise the multi-level phase-1 path (base sort + range-merge kernel)

@@ -306,3 +306,43 @@ def test_tile_merger_auto_falls_back_on_cpu():
     merger.integrate_batch(jnp.asarray(np.stack(tiles)), tiler.crops)
     merged = tiler.crop_to_orignal_size(np.asarray(merger.merge()))
     np.testing.assert_allclose(merged, image, atol=1e-4)
+
+
+@pytest.mark.parametrize("border", ["constant", "replicate", "reflect", "wrap", "reflect101"])
+def test_split_border_modes_match_cv2(border):
+    """Border semantics parity vs the reference's cv2.copyMakeBorder
+    (reference tiles.py:144-191 takes cv2.BORDER_* codes)."""
+    cv2 = pytest.importorskip("cv2")
+    codes = {
+        "constant": cv2.BORDER_CONSTANT,
+        "replicate": cv2.BORDER_REPLICATE,
+        "reflect": cv2.BORDER_REFLECT,
+        "wrap": cv2.BORDER_WRAP,
+        "reflect101": cv2.BORDER_REFLECT_101,
+    }
+    rng = np.random.RandomState(0)
+    image = rng.rand(70, 90, 3).astype(np.float32)
+    tiler = ImageSlicer(image.shape, tile_size=(32, 32), tile_step=(24, 24))
+
+    ref_padded = cv2.copyMakeBorder(
+        image,
+        tiler.margin_top, tiler.margin_bottom, tiler.margin_left, tiler.margin_right,
+        borderType=codes[border], value=0,
+    )
+    mine_padded = tiler._pad_image(image, value=0, border_type=border)
+    np.testing.assert_array_equal(mine_padded, ref_padded)
+
+    # iter_split pads each cropped patch locally, exactly like the
+    # reference's cv2.copyMakeBorder-per-patch (tiles.py:161-167)
+    for (tile, _), bbox in zip(tiler.iter_split(image, border_type=codes[border]), tiler.bbox_crops):
+        x, y, tw, th = bbox
+        x1, y1 = max(x, 0), max(y, 0)
+        x2, y2 = min(image.shape[1], x + tw), min(image.shape[0], y + th)
+        patch = image[y1:y2, x1:x2]
+        ref_tile = cv2.copyMakeBorder(
+            patch,
+            max(0, -y), max(0, y + th - image.shape[0]),
+            max(0, -x), max(0, x + tw - image.shape[1]),
+            borderType=codes[border], value=0,
+        )
+        np.testing.assert_array_equal(tile, ref_tile)

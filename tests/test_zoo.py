@@ -228,20 +228,41 @@ def test_port_torch_state_dict():
     np.testing.assert_allclose(mine, ref, atol=1e-5)
 
 
-def test_decoders_training_mode():
-    """Training-mode forward (BatchNorm batch stats + dropout rngs) works
-    for every decoder."""
-    spec, maps = _dummy_spec_and_maps()
-    for decoder in [
+def _training_mode_decoders(spec, fast):
+    decoders = [
         zoo.UNetDecoder(input_spec=spec, out_channels=(8, 16, 32)),
-        zoo.FPNDecoder(input_spec=spec, out_channels=16),
-        zoo.CANDecoder(input_spec=spec, out_channels=16),
-        zoo.BiFPNDecoder(input_spec=spec, out_channels=16, num_layers=1),
         zoo.DeeplabV3PlusDecoder(input_spec=spec, out_channels=8, atrous_rates=(1, 2, 3)),
-    ]:
+    ]
+    if not fast:
+        decoders += [
+            zoo.FPNDecoder(input_spec=spec, out_channels=16),
+            zoo.CANDecoder(input_spec=spec, out_channels=16),
+            zoo.BiFPNDecoder(input_spec=spec, out_channels=16, num_layers=1),
+        ]
+    return decoders
+
+
+def test_decoders_training_mode():
+    """Training-mode forward (BatchNorm batch stats + dropout rngs): two
+    representative decoders fast (one skip-concat, one ASPP); the rest of
+    the zoo under -m slow (eval-mode forwards for all run elsewhere)."""
+    spec, maps = _dummy_spec_and_maps()
+    for decoder in _training_mode_decoders(spec, fast=True):
         variables = decoder.init(
             {"params": KEY, "dropout": KEY}, maps, training=True
         )
+        outs, updates = decoder.apply(
+            variables, maps, training=True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        assert len(outs) >= 1
+
+
+@pytest.mark.slow
+def test_decoders_training_mode_full():
+    spec, maps = _dummy_spec_and_maps()
+    for decoder in _training_mode_decoders(spec, fast=False):
+        variables = decoder.init({"params": KEY, "dropout": KEY}, maps, training=True)
         outs, updates = decoder.apply(
             variables, maps, training=True,
             mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)},
