@@ -107,16 +107,16 @@ def test_chunked_sort_int_keys_and_fallback():
 
     rng = np.random.RandomState(1)
     # int32 keys carrying f32 payload (the Lovasz backward configuration)
-    perm = np.stack([rng.permutation(2048).astype(np.int32) for _ in range(2)])
-    w = rng.randn(2, 2048).astype(np.float32)
+    perm = np.stack([rng.permutation(1024).astype(np.int32) for _ in range(2)])
+    w = rng.randn(2, 1024).astype(np.float32)
     ks, ps = bitonic_sort_chunked(jnp.asarray(perm), jnp.asarray(w), chunk_size=256, interpret=True)
     ref_k, ref_p = jax.lax.sort((jnp.asarray(perm), jnp.asarray(w)), dimension=-1, num_keys=1)
     np.testing.assert_array_equal(np.asarray(ks), np.asarray(ref_k))
     np.testing.assert_array_equal(np.asarray(ps), np.asarray(ref_p))
 
     # non-power-of-two rows fall back to lax.sort
-    keys = jnp.asarray(rng.randn(2, 3000).astype(np.float32))
-    payload = jnp.zeros((2, 3000), jnp.int32)
+    keys = jnp.asarray(rng.randn(2, 1500).astype(np.float32))
+    payload = jnp.zeros((2, 1500), jnp.int32)
     ks, _ = bitonic_sort_chunked(keys, payload, chunk_size=256, interpret=True)
     np.testing.assert_array_equal(np.asarray(ks), np.sort(np.asarray(keys), axis=-1))
 
