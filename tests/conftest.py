@@ -4,6 +4,11 @@ Runs the suite on CPU with 8 virtual XLA devices so multi-chip sharding
 (Mesh/pjit) is exercised without TPU hardware — the JAX-native answer to
 testing distributed paths that the torch reference never had.
 
+Two tiers: the default FAST tier (~10-11 min cold on this 1-core box,
+load-dependent; XLA compiles dominate) proves every contract with
+minimal-depth configs and depth-reduced parity twins; ``-m slow`` adds the
+full presets, full meshes, and exhaustive sweeps.
+
 Also exposes the torch reference (mounted read-only at /root/reference) for
 numerical parity tests, shimming the torchvision import its utils package
 pulls in (we only need pytorch_toolbelt.losses / inference).

@@ -107,8 +107,8 @@ def test_chunked_sort_int_keys_and_fallback():
 
     rng = np.random.RandomState(1)
     # int32 keys carrying f32 payload (the Lovasz backward configuration)
-    perm = np.stack([rng.permutation(1024).astype(np.int32) for _ in range(2)])
-    w = rng.randn(2, 1024).astype(np.float32)
+    perm = np.stack([rng.permutation(512).astype(np.int32) for _ in range(2)])
+    w = rng.randn(2, 512).astype(np.float32)
     ks, ps = bitonic_sort_chunked(jnp.asarray(perm), jnp.asarray(w), chunk_size=256, interpret=True)
     ref_k, ref_p = jax.lax.sort((jnp.asarray(perm), jnp.asarray(w)), dimension=-1, num_keys=1)
     np.testing.assert_array_equal(np.asarray(ks), np.asarray(ref_k))
