@@ -18,7 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # canonical location since jax 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from ..inference.tiles import ImageSlicer
 
@@ -101,7 +104,10 @@ def tiled_apply_sharded(
         canvas = jnp.zeros((tgt_h, tgt_w, out_channels), jnp.float32)
         # the canvas accumulates device-varying updates; mark it varying over
         # the tile axis so the scan carry types agree
-        canvas = lax.pvary(canvas, (axis_name,))
+        if hasattr(lax, "pcast"):  # canonical spelling since jax 0.8
+            canvas = lax.pcast(canvas, (axis_name,), to="varying")
+        else:  # pragma: no cover
+            canvas = lax.pvary(canvas, (axis_name,))
 
         def step(canvas, inp):
             batch_coords, batch_valid = inp
