@@ -226,7 +226,9 @@ def bitonic_sort_chunked(keys, payload, chunk_size: int = 1 << 17, block_chunks:
     """
     R, N = keys.shape
     C = chunk_size
-    if not chunked_sort_supported(N, C):
+    # the bitwise blends in _cx_roll reinterpret operands as int32
+    four_byte = keys.dtype.itemsize == 4 and payload.dtype.itemsize == 4
+    if not (four_byte and chunked_sort_supported(N, C)):
         return jax.lax.sort((keys, payload), dimension=-1, num_keys=1)
     S = N // C
 
