@@ -9,3 +9,4 @@ from .segmentation import (
 )
 from .wrappers import RandomSubsetDataset, RandomSubsetWithMaskDataset
 from .collate import default_collate, get_collate_for_dataset
+from .prefetch import prefetch_to_device

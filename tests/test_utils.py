@@ -392,3 +392,28 @@ def test_read_images_roundtrip(tmp_path):
     cv2.imwrite(mpath, mask)
     binary = D.read_binary_mask(mpath)
     np.testing.assert_array_equal(binary, (mask > 0).astype(np.uint8))
+
+
+def test_prefetch_to_device_sharded():
+    """prefetch_to_device: order preserved, leaves on device, optional mesh
+    sharding applied, short iterables handled."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pytorch_toolbelt_tpu.datasets import prefetch_to_device
+    from pytorch_toolbelt_tpu.distributed import make_mesh
+
+    batches = [{"x": np.full((8, 4), i, np.float32), "y": np.arange(8) + i} for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert float(b["x"][0, 0]) == i
+        assert isinstance(b["x"], jax.Array)
+
+    mesh = make_mesh(jax.devices(), data_parallel=8)
+    sharding = NamedSharding(mesh, P("data"))
+    out = list(prefetch_to_device(iter(batches[:3]), size=4, sharding=sharding))
+    assert len(out) == 3
+    assert out[0]["x"].sharding == sharding
+
+    assert list(prefetch_to_device(iter([]), size=2)) == []
