@@ -159,6 +159,9 @@ class InceptionC(nn.Module):
 class InceptionV4Encoder(EncoderBase):
     layers: Optional[Tuple[int, ...]] = None
     torch_compat: bool = False
+    # Inception-A/B/C block repeats (reference inceptionv4.py:262-284 uses
+    # 4/7/3); reducible for depth-cut experiments and fast parity twins
+    stage_repeats: Tuple[int, int, int] = (4, 7, 3)
 
     def get_output_spec(self) -> FeatureMapsSpec:
         channels = (64, 192, 384, 1024, 1536)
@@ -196,19 +199,19 @@ class InceptionV4Encoder(EncoderBase):
         conv = ConvBN(192, (3, 3), stride=2, valid=True, compat=c)(x, training=training)
         p = _max_pool_3x3s2(x, c)
         x = jnp.concatenate([conv, p], axis=-1)  # 384
-        for _ in range(4):
+        for _ in range(self.stage_repeats[0]):
             x = InceptionA(compat=c)(x, training=training)
         outputs.append(x)
 
         # Reduction-A -> stride 16, Inception-B x7 (1024ch)
         x = ReductionA(compat=c)(x, training=training)
-        for _ in range(7):
+        for _ in range(self.stage_repeats[1]):
             x = InceptionB(compat=c)(x, training=training)
         outputs.append(x)
 
         # Reduction-B -> stride 32, Inception-C x3 (1536ch)
         x = ReductionB(compat=c)(x, training=training)
-        for _ in range(3):
+        for _ in range(self.stage_repeats[2]):
             x = InceptionC(compat=c)(x, training=training)
         outputs.append(x)
 

@@ -204,11 +204,13 @@ def _convbn_mapping(flax_prefix: Tuple[str, ...], torch_prefix: str) -> Dict:
     return m
 
 
-def inception_v4_mapping() -> Dict[Tuple[str, ...], str]:
+def inception_v4_mapping(stage_repeats: Tuple[int, int, int] = (4, 7, 3)) -> Dict[Tuple[str, ...], str]:
     """Flax InceptionV4Encoder <- vendored torch InceptionV4 state dict
     (reference modules/backbone/inceptionv4.py:253-285).  ConvBN indices
     follow the encoder's instantiation order; torch keys follow the
-    features.N sequential layout."""
+    features.N sequential layout (indices shift with ``stage_repeats`` when
+    the torch twin is assembled with reduced block counts)."""
+    na, nb, nc = stage_repeats
     m = {}
 
     def cb(flax_idx: int, torch_path: str, outer: Tuple[str, ...] = ()):
@@ -229,14 +231,14 @@ def inception_v4_mapping() -> Dict[Tuple[str, ...], str]:
     # mixed_5a conv (features.5)
     cb(10, "features.5.conv")
 
-    # Inception-A x4 (features.6-9)
+    # Inception-A blocks (features.6..)
     a_branches = ["branch0", "branch1.0", "branch1.1", "branch2.0", "branch2.1", "branch2.2", "branch3.1"]
-    for i in range(4):
+    for i in range(na):
         for j, b in enumerate(a_branches):
             cb(j, f"features.{6 + i}.{b}", (f"InceptionA_{i}",))
-    # Reduction-A (features.10)
+    # Reduction-A
     for j, b in enumerate(["branch0", "branch1.0", "branch1.1", "branch1.2"]):
-        cb(j, f"features.10.{b}", ("ReductionA_0",))
+        cb(j, f"features.{6 + na}.{b}", ("ReductionA_0",))
     # Inception-B x7 (features.11-17)
     b_branches = [
         "branch0",
@@ -244,12 +246,12 @@ def inception_v4_mapping() -> Dict[Tuple[str, ...], str]:
         "branch2.0", "branch2.1", "branch2.2", "branch2.3", "branch2.4",
         "branch3.1",
     ]
-    for i in range(7):
+    for i in range(nb):
         for j, b in enumerate(b_branches):
-            cb(j, f"features.{11 + i}.{b}", (f"InceptionB_{i}",))
-    # Reduction-B (features.18)
+            cb(j, f"features.{7 + na + i}.{b}", (f"InceptionB_{i}",))
+    # Reduction-B
     for j, b in enumerate(["branch0.0", "branch0.1", "branch1.0", "branch1.1", "branch1.2", "branch1.3"]):
-        cb(j, f"features.18.{b}", ("ReductionB_0",))
+        cb(j, f"features.{7 + na + nb}.{b}", ("ReductionB_0",))
     # Inception-C x3 (features.19-21)
     c_branches = [
         "branch0",
@@ -257,9 +259,9 @@ def inception_v4_mapping() -> Dict[Tuple[str, ...], str]:
         "branch2_0", "branch2_1", "branch2_2", "branch2_3a", "branch2_3b",
         "branch3.1",
     ]
-    for i in range(3):
+    for i in range(nc):
         for j, b in enumerate(c_branches):
-            cb(j, f"features.{19 + i}.{b}", (f"InceptionC_{i}",))
+            cb(j, f"features.{8 + na + nb + i}.{b}", (f"InceptionC_{i}",))
     return m
 
 

@@ -172,40 +172,61 @@ def test_senet_family_matches_vendored_torch_full(preset):
     _check_senet_parity(ref, ours)
 
 
-def test_inception_v4_matches_vendored_torch():
+def _check_inception_parity(repeats):
+    """Parity vs the vendored torch InceptionV4; ``repeats``=(1,1,1) builds a
+    depth-reduced torch twin from the SAME vendored block classes (every
+    block type + both reductions still exercised — repeats are identical
+    code), the full (4,7,3) preset runs under -m slow."""
     import torch
 
-    from pytorch_toolbelt.modules.backbone.inceptionv4 import InceptionV4
+    from pytorch_toolbelt.modules.backbone import inceptionv4 as ref_mod
     from pytorch_toolbelt_tpu.zoo.encoders.inception import InceptionV4Encoder
     from pytorch_toolbelt_tpu.zoo.porting import inception_v4_mapping, port_torch_state_dict
 
     torch.manual_seed(0)
-    ref = InceptionV4(num_classes=10).eval()
+    na, nb, nc = repeats
+    ref = ref_mod.InceptionV4(num_classes=10).eval()
+    if repeats != (4, 7, 3):
+        blocks = (
+            list(ref.features[0:6])
+            + [ref_mod.Inception_A() for _ in range(na)]
+            + [ref_mod.Reduction_A()]
+            + [ref_mod.Inception_B() for _ in range(nb)]
+            + [ref_mod.Reduction_B()]
+            + [ref_mod.Inception_C() for _ in range(nc)]
+        )
+        ref.features = torch.nn.Sequential(*blocks)
+        ref = ref.eval()
     _randomize_bn_stats(ref)
 
     import jax
 
-    enc = InceptionV4Encoder(torch_compat=True)
+    enc = InceptionV4Encoder(torch_compat=True, stage_repeats=repeats)
     x = np.random.RandomState(1).rand(1, 160, 160, 3).astype(np.float32)
     variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))
-    variables = port_torch_state_dict(variables, ref.state_dict(), inception_v4_mapping())
+    variables = port_torch_state_dict(variables, ref.state_dict(), inception_v4_mapping(repeats))
     ours = enc.apply(variables, jnp.asarray(x))
 
+    bounds = [0, 3, 5, 6 + na, 7 + na + nb, 8 + na + nb + nc]
+    # snapshot boundaries: stem / mixed4a / A-stack / B-stack / C-stack ends
+    snap = [3, 5, 6 + na, 7 + na + nb, 8 + na + nb + nc]
     with torch.no_grad():
         t = torch.from_numpy(x.transpose(0, 3, 1, 2))
         feats = []
-        t = ref.features[0:3](t)
-        feats.append(t)
-        t = ref.features[3:5](t)
-        feats.append(t)
-        t = ref.features[5:10](t)
-        feats.append(t)
-        t = ref.features[10:18](t)
-        feats.append(t)
-        t = ref.features[18:22](t)
-        feats.append(t)
+        for a, b in zip(bounds[:-1], snap):
+            t = ref.features[a:b](t)
+            feats.append(t)
 
     _assert_features_close(ours, feats, ["l0", "l1", "l2", "l3", "l4"])
+
+
+def test_inception_v4_matches_vendored_torch():
+    _check_inception_parity((1, 1, 1))
+
+
+@pytest.mark.slow
+def test_inception_v4_matches_vendored_torch_full():
+    _check_inception_parity((4, 7, 3))
 
 
 @pytest.mark.parametrize("a2", [False, True])
