@@ -49,6 +49,7 @@ IMAGE_SIZE = 5000
 TILE_SIZE = 512
 TILE_STEP = 256
 BATCH = 32
+FULL_D4_BATCH = 16  # batch sweep in benchmarks/RESULTS.md; 32 OOMs in full mode
 
 
 def main():
@@ -101,11 +102,40 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     mps = megapixels / dt
 
+    # Same metric, mode='full': all 8 d4 views on every tile — the exact
+    # algorithm of the reference's d4_image2mask-in-a-tile-loop.  Reported
+    # alongside so the JSON line never conflates the two algorithms.
+    def run_full(img):
+        return tiled_apply_d4_tta(
+            forward,
+            img,
+            tile_size=TILE_SIZE,
+            tile_step=TILE_STEP,
+            weight="pyramid",
+            batch_size=FULL_D4_BATCH,
+            mode="full",
+        )
+
+    out = run_full(image)
+    image = perturb(image, out)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run_full(image)
+        image = perturb(image, out)
+    out.block_until_ready()
+    full_dt = (time.perf_counter() - t0) / iters
+    full_mps = megapixels / full_dt
+
     result = {
         "metric": "tiled_5000x5000_unet32_d4tta_pyramid_merge",
         "value": round(mps, 2),
         "unit": "MP/s",
         "vs_baseline": round(mps / ANCHOR_H100_PYTORCH_MPS, 3),
+        "mode": "distributed_d4",
+        "full_d4_mps": round(full_mps, 2),
+        "full_d4_vs_baseline": round(full_mps / ANCHOR_H100_PYTORCH_MPS, 3),
+        "baseline_kind": "estimated_h100_from_measured_cpu_run",
     }
 
     devices = jax.devices()

@@ -1,15 +1,33 @@
 """Mesh-sharded tiled inference — the flagship huge-image pipeline
 (BASELINE.json config 5: 10000x10000 orthophoto, tiles sharded across a
-v5e-4 mesh, per-tile TTA, all-reduce weighted merge).
+v5e-4 mesh, per-tile TTA, weighted merge).
 
 Design (SURVEY.md §5 "long-context" restatement): the tile grid is the
-parallel axis.  Each device slices ITS tiles from the (replicated) padded
-image, runs the model, and overlap-adds into a LOCAL canvas; one psum over
-the 'data' axis merges the partial canvases across ICI; the static 1/norm
-constant finishes the blend.  Implemented with shard_map so the per-device
-program is the single-chip tiled_apply loop.
+parallel axis, and since round 3 the OUTPUT CANVAS is the sharded object
+(``canvas='strips'``, the default): the canvas rows are split into one
+contiguous strip per device, each device runs exactly the tiles that
+intersect its strip (tiles straddling a strip boundary are recomputed by
+both owners — at production scale that is one tile-row in ~strip_h/step
+rows of duplicated model work) and overlap-adds into a LOCAL strip canvas
+with a tile-height halo.  The merge needs NO collective at all: per-device
+accumulator memory is O(H*W*K / n_devices + halo) and the result comes
+back row-sharded over the mesh.  The input image is likewise delivered as
+per-device row strips (strip + halo), so nothing full-resolution is ever
+replicated.
+
+``canvas='replicated'`` keeps the round-2 scheme — every device owns a
+full-resolution accumulator, tiles are round-robined for load balance, and
+one full-canvas ``psum`` over ICI merges the partials.  It avoids the
+boundary-tile recompute and is fine for small canvases, but its per-device
+memory is O(H*W*K) (e.g. 7.6 GB for a 10000^2 19-class canvas) which does
+not fit beside a real model on a 16 GB v5e chip — hence the strip default.
+
+Both are implemented with shard_map so the per-device program is the
+single-chip tiled_apply loop (reference semantics:
+pytorch_toolbelt/inference/tiles.py:290-350's merge, distributed).
 """
 
+import math
 from functools import partial
 from typing import Callable, Optional, Tuple, Union
 
@@ -28,6 +46,14 @@ from ..inference.tiles import ImageSlicer
 __all__ = ["tiled_apply_sharded"]
 
 
+def _mark_varying(x, axis_name):
+    """Mark a freshly-created per-device array as device-varying so scan
+    carries typecheck under shard_map's varying-type system."""
+    if hasattr(lax, "pcast"):  # canonical spelling since jax 0.8
+        return lax.pcast(x, (axis_name,), to="varying")
+    return lax.pvary(x, (axis_name,))  # pragma: no cover
+
+
 def tiled_apply_sharded(
     model_fn: Callable[[jnp.ndarray], jnp.ndarray],
     image: jnp.ndarray,
@@ -37,17 +63,143 @@ def tiled_apply_sharded(
     weight: str = "pyramid",
     batch_size: int = 4,
     axis_name: str = "data",
+    canvas: str = "strips",
 ) -> jnp.ndarray:
     """Distribute tiles of a huge image over the mesh's ``axis_name`` axis.
 
     Args:
         model_fn: [B, th, tw, C] -> [B, th, tw, K], shape-preserving spatially.
-        image: [H, W, C] (host or device); broadcast to every device.
+        image: [H, W, C] (host or device).
         mesh: jax.sharding.Mesh whose ``axis_name`` axis carries the tiles.
+        canvas: 'strips' (default) — canvas rows sharded over the mesh, no
+            collectives, O(H*W*K/n) per-device memory; 'replicated' — every
+            device accumulates a full canvas, merged with one psum.
 
     Returns:
-        [H, W, K] merged prediction (replicated).
+        [H, W, K] merged prediction ('strips': row-sharded over the mesh;
+        'replicated': replicated).
     """
+    if canvas == "replicated":
+        return _tiled_apply_replicated(
+            model_fn, image, mesh, tile_size, tile_step, weight, batch_size, axis_name
+        )
+    if canvas != "strips":
+        raise ValueError(f"Unknown canvas mode {canvas!r}; use 'strips' or 'replicated'")
+
+    h, w = int(image.shape[0]), int(image.shape[1])
+    n = int(mesh.shape[axis_name])
+
+    slicer = ImageSlicer((h, w), tile_size, tile_step, weight=weight)
+    th, tw = slicer.tile_size
+    tgt_h, tgt_w = slicer.target_shape
+    strip_h = -(-tgt_h // n)
+    tgt_h_pad = strip_h * n
+
+    coords = slicer.crops  # (x, y, w, h)
+    ys, xs = coords[:, 1].astype(np.int64), coords[:, 0].astype(np.int64)
+
+    # static normalization canvas, split into per-device strips
+    weight_np = slicer.weight.astype(np.float32)
+    norm = np.zeros((tgt_h_pad, tgt_w), dtype=np.float64)
+    for x, y in zip(xs, ys):
+        norm[y : y + th, x : x + tw] += weight_np
+    norm = np.clip(norm, np.finfo(np.float64).eps, None).astype(np.float32)
+    inv_norm_strips = (1.0 / norm).reshape(n, strip_h, tgt_w, 1)
+
+    # per-device tile lists: every tile whose rows intersect the device strip.
+    # Local row offset is in the haloed frame (strip start minus one tile).
+    per_dev = []
+    for d in range(n):
+        lo, hi = d * strip_h, (d + 1) * strip_h
+        sel = (ys + th > lo) & (ys < hi)
+        local = np.stack([ys[sel] - lo + th, xs[sel]], axis=1).astype(np.int32)
+        per_dev.append(local)
+    max_tiles = max(len(p) for p in per_dev)
+    per_len = -(-max_tiles // batch_size) * batch_size
+    coords_dev = np.zeros((n, per_len, 2), dtype=np.int32)
+    valid_dev = np.zeros((n, per_len), dtype=np.float32)
+    for d, local in enumerate(per_dev):
+        coords_dev[d, : len(local)] = local
+        valid_dev[d, : len(local)] = 1.0
+    num_batches = per_len // batch_size
+    coords_dev = coords_dev.reshape(n, num_batches, batch_size, 2)
+    valid_dev = valid_dev.reshape(n, num_batches, batch_size)
+
+    # input image as per-device row strips with a tile-height halo on both
+    # sides (frame shift +th), so nothing full-resolution is replicated
+    padded_np = np.pad(
+        np.asarray(image, dtype=np.float32),
+        [
+            (slicer.margin_top + th, slicer.margin_bottom + (tgt_h_pad - tgt_h) + th),
+            (slicer.margin_left, slicer.margin_right),
+            (0, 0),
+        ],
+    )
+    img_strips = np.stack(
+        [padded_np[d * strip_h : d * strip_h + strip_h + 2 * th] for d in range(n)]
+    )
+
+    probe = jax.eval_shape(
+        model_fn, jax.ShapeDtypeStruct((batch_size, th, tw, image.shape[-1]), jnp.float32)
+    )
+    out_channels = probe.shape[-1]
+    weight_const = jnp.asarray(weight_np)[..., None]
+
+    def per_device_fn(img_strip, my_coords, my_valid, inv_norm_strip):
+        img_strip = img_strip[0]  # [strip_h + 2*th, tgt_w, C]
+        my_coords = my_coords[0]
+        my_valid = my_valid[0]
+        inv_norm_strip = inv_norm_strip[0]
+        local = jnp.zeros((strip_h + 2 * th, tgt_w, out_channels), jnp.float32)
+        local = _mark_varying(local, axis_name)
+
+        def step(local, inp):
+            batch_coords, batch_valid = inp
+            tiles = jax.vmap(
+                lambda yx: lax.dynamic_slice(
+                    img_strip, (yx[0], yx[1], 0), (th, tw, img_strip.shape[-1])
+                )
+            )(batch_coords)
+            preds = model_fn(tiles).astype(jnp.float32)
+
+            def inner(i, local):
+                y, x = batch_coords[i, 0], batch_coords[i, 1]
+                region = lax.dynamic_slice(local, (y, x, 0), (th, tw, out_channels))
+                update = region + preds[i] * weight_const * batch_valid[i]
+                return lax.dynamic_update_slice(local, update, (y, x, 0))
+
+            return lax.fori_loop(0, batch_size, inner, local), None
+
+        local, _ = lax.scan(step, local, (my_coords, my_valid))
+        # own strip only; halo rows belong to the neighbours, which computed
+        # the straddling tiles themselves
+        return local[th : th + strip_h] * inv_norm_strip
+
+    sharded = shard_map(
+        per_device_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+    )
+
+    spec = NamedSharding(mesh, P(axis_name))
+    with mesh:
+        merged = jax.jit(sharded)(
+            jax.device_put(jnp.asarray(img_strips), spec),
+            jax.device_put(jnp.asarray(coords_dev), spec),
+            jax.device_put(jnp.asarray(valid_dev), spec),
+            jax.device_put(jnp.asarray(inv_norm_strips), spec),
+        )
+    return merged[
+        slicer.margin_top : slicer.margin_top + h,
+        slicer.margin_left : slicer.margin_left + w,
+    ]
+
+
+def _tiled_apply_replicated(
+    model_fn, image, mesh, tile_size, tile_step, weight, batch_size, axis_name
+) -> jnp.ndarray:
+    """Round-2 scheme: full-resolution accumulator per device + one psum."""
     h, w = int(image.shape[0]), int(image.shape[1])
     num_devices = int(mesh.shape[axis_name])
 
@@ -102,12 +254,7 @@ def tiled_apply_sharded(
         my_coords = my_coords[0]
         my_valid = my_valid[0]
         canvas = jnp.zeros((tgt_h, tgt_w, out_channels), jnp.float32)
-        # the canvas accumulates device-varying updates; mark it varying over
-        # the tile axis so the scan carry types agree
-        if hasattr(lax, "pcast"):  # canonical spelling since jax 0.8
-            canvas = lax.pcast(canvas, (axis_name,), to="varying")
-        else:  # pragma: no cover
-            canvas = lax.pvary(canvas, (axis_name,))
+        canvas = _mark_varying(canvas, axis_name)
 
         def step(canvas, inp):
             batch_coords, batch_valid = inp

@@ -139,7 +139,7 @@ class DPNEncoder(EncoderBase):
 
 
 def dpn68_encoder(**kwargs):
-    return DPNEncoder(
+    return DPNEncoder(**{**dict(
         stage_blocks=(3, 4, 12, 3),
         base_width=(64, 128, 256, 512),
         res_width=(64, 128, 256, 512),
@@ -147,30 +147,28 @@ def dpn68_encoder(**kwargs):
         groups=32,
         stem_channels=10,
         small_stem=True,
-        **kwargs,
-    )
+    ), **kwargs})
 
 
 def dpn68b_encoder(**kwargs):
     """dpn68 with B-style blocks (capability target: timm/dpn.py:37-59)."""
-    return dpn68_encoder(b_style=True, **kwargs)
+    return dpn68_encoder(**{**dict(b_style=True), **kwargs})
 
 
 def dpn92_encoder(**kwargs):
-    return DPNEncoder(
+    return DPNEncoder(**{**dict(
         stage_blocks=(3, 4, 20, 3),
         base_width=(96, 192, 384, 768),
         res_width=(256, 512, 1024, 2048),
         inc=(16, 32, 24, 128),
         groups=32,
         stem_channels=64,
-        **kwargs,
-    )
+    ), **kwargs})
 
 
 def dpn107_encoder(**kwargs):
     """Capability target: timm/dpn.py:83-105."""
-    return DPNEncoder(
+    return DPNEncoder(**{**dict(
         stage_blocks=(4, 8, 20, 3),
         base_width=(200, 400, 800, 1600),
         res_width=(256, 512, 1024, 2048),
@@ -178,18 +176,16 @@ def dpn107_encoder(**kwargs):
         groups=50,
         stem_channels=128,
         b_style=True,
-        **kwargs,
-    )
+    ), **kwargs})
 
 
 def dpn131_encoder(**kwargs):
     """Capability target: timm/dpn.py:106-125."""
-    return DPNEncoder(
+    return DPNEncoder(**{**dict(
         stage_blocks=(4, 8, 28, 3),
         base_width=(160, 320, 640, 1280),
         res_width=(256, 512, 1024, 2048),
         inc=(16, 32, 32, 128),
         groups=40,
         stem_channels=128,
-        **kwargs,
-    )
+    ), **kwargs})

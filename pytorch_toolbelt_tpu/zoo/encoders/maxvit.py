@@ -114,6 +114,8 @@ class MaxViTEncoder(EncoderBase):
     num_heads: Tuple[int, ...] = (2, 4, 8, 16)
     partition: int = 8
     layers: Optional[Tuple[int, ...]] = None
+    # per-block rematerialization (reference Swin's use_checkpoint analogue)
+    use_remat: bool = False
 
     def get_output_spec(self) -> FeatureMapsSpec:
         channels = (self.stem_channels,) + self.stage_channels
@@ -132,16 +134,21 @@ class MaxViTEncoder(EncoderBase):
         x = nn.Conv(self.stem_channels, (3, 3), padding="SAME")(x)
         outputs.append(x)
 
+        block_cls = nn.remat(MaxViTBlock, static_argnums=(2,)) if self.use_remat else MaxViTBlock
+        block_index = 0
         for stage, (channels, blocks, heads) in enumerate(
             zip(self.stage_channels, self.stage_blocks, self.num_heads)
         ):
             for i in range(blocks):
-                x = MaxViTBlock(
+                x = block_cls(
                     channels,
                     num_heads=heads,
                     stride=(2 if i == 0 else 1),
                     partition=self.partition,
-                )(x, training=training)
+                    # explicit name keeps the param tree remat-invariant
+                    name=f"MaxViTBlock_{block_index}",
+                )(x, training)
+                block_index += 1
             outputs.append(x)
 
         if self.layers is not None:
@@ -150,30 +157,30 @@ class MaxViTEncoder(EncoderBase):
 
 
 def maxvit_tiny_encoder(**kwargs):
-    return MaxViTEncoder(stage_channels=(64, 128, 256, 512), stage_blocks=(2, 2, 5, 2), **kwargs)
+    return MaxViTEncoder(**{**dict(stage_channels=(64, 128, 256, 512), stage_blocks=(2, 2, 5, 2)), **kwargs})
 
 
 def maxvit_small_encoder(**kwargs):
-    return MaxViTEncoder(stage_channels=(96, 192, 384, 768), stage_blocks=(2, 2, 5, 2), **kwargs)
+    return MaxViTEncoder(**{**dict(stage_channels=(96, 192, 384, 768), stage_blocks=(2, 2, 5, 2)), **kwargs})
 
 
 def maxvit_base_encoder(**kwargs):
     """MaxViT-B (arXiv:2204.01697 table 1; capability target timm/maxvit.py:4)."""
-    return MaxViTEncoder(
+    return MaxViTEncoder(**{**dict(
         stem_channels=64, stage_channels=(96, 192, 384, 768), stage_blocks=(2, 6, 14, 2),
-        num_heads=(3, 6, 12, 24), **kwargs
-    )
+        num_heads=(3, 6, 12, 24)
+    ), **kwargs})
 
 
 def maxvit_large_encoder(**kwargs):
-    return MaxViTEncoder(
+    return MaxViTEncoder(**{**dict(
         stem_channels=128, stage_channels=(128, 256, 512, 1024), stage_blocks=(2, 6, 14, 2),
-        num_heads=(4, 8, 16, 32), **kwargs
-    )
+        num_heads=(4, 8, 16, 32)
+    ), **kwargs})
 
 
 def maxvit_xlarge_encoder(**kwargs):
-    return MaxViTEncoder(
+    return MaxViTEncoder(**{**dict(
         stem_channels=192, stage_channels=(192, 384, 768, 1536), stage_blocks=(2, 6, 14, 2),
-        num_heads=(6, 12, 24, 48), **kwargs
-    )
+        num_heads=(6, 12, 24, 48)
+    ), **kwargs})

@@ -116,6 +116,8 @@ class MixVisionTransformerEncoder(EncoderBase):
     mlp_ratios: Tuple[int, ...] = (4, 4, 4, 4)
     drop_path_rate: float = 0.0
     layers: Optional[Tuple[int, ...]] = None
+    # per-block rematerialization (reference Swin's use_checkpoint analogue)
+    use_remat: bool = False
 
     def get_output_spec(self) -> FeatureMapsSpec:
         channels = self.embed_dims
@@ -130,17 +132,20 @@ class MixVisionTransformerEncoder(EncoderBase):
         outputs = []
         total_blocks = sum(self.depths)
         block_index = 0
+        block_cls = nn.remat(MiTBlock, static_argnums=(2,)) if self.use_remat else MiTBlock
         for stage in range(4):
             patch, stride = (7, 4) if stage == 0 else (3, 2)
             x = OverlapPatchEmbed(self.embed_dims[stage], patch, stride)(x)
             for _ in range(self.depths[stage]):
                 dpr = self.drop_path_rate * block_index / max(1, total_blocks - 1)
-                x = MiTBlock(
+                x = block_cls(
                     self.num_heads[stage],
                     self.sr_ratios[stage],
                     self.mlp_ratios[stage],
                     drop_path_rate=dpr,
-                )(x, training=training)
+                    # explicit name keeps the param tree remat-invariant
+                    name=f"MiTBlock_{block_index}",
+                )(x, training)
                 block_index += 1
             x = nn.LayerNorm()(x)
             outputs.append(x)

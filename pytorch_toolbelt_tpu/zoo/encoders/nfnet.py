@@ -167,7 +167,7 @@ class NFNetEncoder(EncoderBase):
 
 def _nfnet_f(n, **kwargs):
     base = (1, 2, 6, 3)
-    return NFNetEncoder(stage_blocks=tuple(b * (n + 1) for b in base), **kwargs)
+    return NFNetEncoder(**{**dict(stage_blocks=tuple(b * (n + 1) for b in base)), **kwargs})
 
 
 def nfnet_f0_encoder(**kwargs):
@@ -207,24 +207,24 @@ def nfnet_f7_encoder(**kwargs):
 
 
 def nf_regnet_b0_encoder(**kwargs):
-    return NFNetEncoder(stage_blocks=(1, 3, 6, 6), stage_channels=(48, 104, 208, 440), **kwargs)
+    return NFNetEncoder(**{**dict(stage_blocks=(1, 3, 6, 6), stage_channels=(48, 104, 208, 440)), **kwargs})
 
 
 def nf_regnet_b1_encoder(**kwargs):
-    return NFNetEncoder(stage_blocks=(2, 4, 7, 7), stage_channels=(48, 104, 208, 440), **kwargs)
+    return NFNetEncoder(**{**dict(stage_blocks=(2, 4, 7, 7), stage_channels=(48, 104, 208, 440)), **kwargs})
 
 
 def nf_regnet_b2_encoder(**kwargs):
-    return NFNetEncoder(stage_blocks=(2, 4, 8, 8), stage_channels=(56, 112, 232, 488), **kwargs)
+    return NFNetEncoder(**{**dict(stage_blocks=(2, 4, 8, 8), stage_channels=(56, 112, 232, 488)), **kwargs})
 
 
 def nf_regnet_b3_encoder(**kwargs):
-    return NFNetEncoder(stage_blocks=(2, 5, 9, 9), stage_channels=(56, 128, 248, 528), **kwargs)
+    return NFNetEncoder(**{**dict(stage_blocks=(2, 5, 9, 9), stage_channels=(56, 128, 248, 528)), **kwargs})
 
 
 def nf_regnet_b4_encoder(**kwargs):
-    return NFNetEncoder(stage_blocks=(2, 6, 11, 11), stage_channels=(64, 144, 288, 610), **kwargs)
+    return NFNetEncoder(**{**dict(stage_blocks=(2, 6, 11, 11), stage_channels=(64, 144, 288, 610)), **kwargs})
 
 
 def nf_regnet_b5_encoder(**kwargs):
-    return NFNetEncoder(stage_blocks=(3, 7, 14, 14), stage_channels=(80, 168, 336, 704), **kwargs)
+    return NFNetEncoder(**{**dict(stage_blocks=(3, 7, 14, 14), stage_channels=(80, 168, 336, 704)), **kwargs})

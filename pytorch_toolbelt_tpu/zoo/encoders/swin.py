@@ -159,6 +159,10 @@ class SwinTransformerEncoder(EncoderBase):
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.0
     layers: Optional[Tuple[int, ...]] = None
+    # Rematerialize each block on the backward pass (the reference Swin's
+    # use_checkpoint, swin.py:324-438): activation memory drops from
+    # O(depth) to O(1) blocks per stage at the cost of one extra forward.
+    use_remat: bool = False
 
     def get_output_spec(self) -> FeatureMapsSpec:
         channels = tuple(self.embed_dim * (2**i) for i in range(len(self.depths)))
@@ -177,16 +181,21 @@ class SwinTransformerEncoder(EncoderBase):
         total_blocks = sum(self.depths)
         block_index = 0
         outputs = []
+        block_cls = nn.remat(SwinBlock, static_argnums=(2,)) if self.use_remat else SwinBlock
         for stage, depth in enumerate(self.depths):
             for i in range(depth):
                 dpr = self.drop_path_rate * block_index / max(1, total_blocks - 1)
-                x = SwinBlock(
+                x = block_cls(
                     num_heads=self.num_heads[stage],
                     window_size=self.window_size,
                     shift=(i % 2 == 1),
                     mlp_ratio=self.mlp_ratio,
                     drop_path_rate=dpr,
-                )(x, training=training)
+                    # explicit name: keeps the param tree identical whether or
+                    # not the block is remat-wrapped (flax would otherwise
+                    # auto-name it CheckpointSwinBlock_i)
+                    name=f"SwinBlock_{block_index}",
+                )(x, training)
                 block_index += 1
             outputs.append(nn.LayerNorm()(x))
             if stage != len(self.depths) - 1:

@@ -202,30 +202,129 @@ def test_tiled_apply_d4_tta_distributed_equivariant_model():
     np.testing.assert_allclose(np.asarray(dist), np.asarray(full), atol=1e-4)
 
 
-def test_tiled_apply_d4_tta_distributed_covers_all_views():
-    """With a model that returns a constant per d4 view orientation marker,
-    interior pixels of the distributed mode must average all 8 views."""
+# numpy d4 on a single HWC tile, mirroring inference/functional.py's batch
+# versions (augment index order from tta.py d4_image_augment_views:281-299,
+# inverses from _D4_DEAUG:302-311)
+_NP_D4_AUG = (
+    lambda t: t,
+    lambda t: np.rot90(t, k=-1, axes=(0, 1)),
+    lambda t: np.rot90(t, k=2, axes=(0, 1)),
+    lambda t: np.rot90(t, k=1, axes=(0, 1)),
+    lambda t: np.swapaxes(t, 0, 1),
+    lambda t: np.rot90(np.swapaxes(t, 0, 1), k=-1, axes=(0, 1)),
+    lambda t: np.rot90(np.swapaxes(t, 0, 1), k=2, axes=(0, 1)),
+    lambda t: np.rot90(np.swapaxes(t, 0, 1), k=1, axes=(0, 1)),
+)
+_NP_D4_DEAUG = (
+    lambda t: t,
+    lambda t: np.rot90(t, k=1, axes=(0, 1)),
+    lambda t: np.rot90(t, k=2, axes=(0, 1)),
+    lambda t: np.rot90(t, k=-1, axes=(0, 1)),
+    lambda t: np.swapaxes(t, 0, 1),
+    lambda t: np.swapaxes(np.rot90(t, k=1, axes=(0, 1)), 0, 1),
+    lambda t: np.swapaxes(np.rot90(t, k=2, axes=(0, 1)), 0, 1),
+    lambda t: np.swapaxes(np.rot90(t, k=-1, axes=(0, 1)), 0, 1),
+)
+
+
+def _host_tiled_d4_oracle(image_np, model_np, tile_size, tile_step, views_for_tile):
+    """Independent numpy implementation of tiled d4-TTA inference: pad, slice,
+    per-tile view-averaged prediction, pyramid-weighted overlap-add, normalize,
+    crop.  ``views_for_tile(y, x)`` returns the d4 view indices that tile must
+    run — (0..7,) reproduces mode='full', the parity pairs reproduce
+    mode='distributed'."""
+    from pytorch_toolbelt_tpu.inference.tiles import ImageSlicer
+
+    slicer = ImageSlicer(image_np.shape[:2], tile_size, tile_step, weight="pyramid")
+    th, tw = slicer.tile_size
+    padded = np.pad(
+        image_np,
+        [(slicer.margin_top, slicer.margin_bottom), (slicer.margin_left, slicer.margin_right), (0, 0)],
+    )
+    w = slicer.weight.astype(np.float32)[..., None]
+
+    k = model_np(padded[:th, :tw]).shape[-1]
+    canvas = np.zeros(slicer.target_shape + (k,), dtype=np.float64)
+    norm = np.zeros(slicer.target_shape + (1,), dtype=np.float64)
+    for x, y, _, _ in slicer.crops:
+        tile = padded[y : y + th, x : x + tw]
+        views = views_for_tile(y, x)
+        pred = np.mean(
+            [_NP_D4_DEAUG[v](model_np(_NP_D4_AUG[v](tile))) for v in views], axis=0
+        )
+        canvas[y : y + th, x : x + tw] += pred * w
+        norm[y : y + th, x : x + tw] += w
+    out = canvas / np.clip(norm, np.finfo(np.float64).eps, None)
+    return out[
+        slicer.margin_top : slicer.margin_top + image_np.shape[0],
+        slicer.margin_left : slicer.margin_left + image_np.shape[1],
+    ].astype(np.float32)
+
+
+def _nonequivariant_model():
+    """A model that does NOT commute with any nontrivial d4 transform: output
+    depends on absolute tile position via a fixed non-symmetric per-pixel
+    pattern, so every view produces genuinely different deaugmented values.
+    Runs identically on host (numpy HWC) and device (jax NHWC)."""
+    rng = np.random.RandomState(7)
+    pattern = rng.random((32, 32, 1)).astype(np.float32)
+    bias = rng.random((32, 32, 1)).astype(np.float32)
+    pattern_j, bias_j = jnp.asarray(pattern), jnp.asarray(bias)
+
+    def model_jax(x):  # [B, 32, 32, C] -> [B, 32, 32, 2]
+        a = (x * pattern_j[None]).sum(-1, keepdims=True) + bias_j[None]
+        b = (x * bias_j[None]).sum(-1, keepdims=True)
+        return jnp.concatenate([a, b], axis=-1)
+
+    def model_np(t):  # [32, 32, C] -> [32, 32, 2]
+        a = (t * pattern).sum(-1, keepdims=True) + bias
+        b = (t * bias).sum(-1, keepdims=True)
+        return np.concatenate([a, b], axis=-1).astype(np.float32)
+
+    return model_jax, model_np
+
+
+def test_tiled_apply_d4_tta_distributed_exact_oracle():
+    """VERDICT r2 #1b: the distributed-d4 blend must match an independent
+    host-side computation exactly — per-pixel pyramid-weighted mean over the
+    covering tiles of each tile's assigned d4 view pair — on a model that is
+    NOT d4-equivariant (so wrong view pairing, wrong inverse, or wrong
+    weighting all fail loudly)."""
+    from pytorch_toolbelt_tpu.inference import tiled_apply_d4_tta
+    from pytorch_toolbelt_tpu.inference.tiles import _D4_PARITY_VIEW_PAIRS
+
+    model_jax, model_np = _nonequivariant_model()
+    rng = np.random.RandomState(42)
+    image_np = rng.random((100, 90, 3)).astype(np.float32)
+
+    out = tiled_apply_d4_tta(
+        model_jax, jnp.asarray(image_np), tile_size=32, tile_step=16, batch_size=4,
+        mode="distributed",
+    )
+
+    def views_for_tile(y, x):
+        parity = (y // 16) % 2 * 2 + (x // 16) % 2
+        return _D4_PARITY_VIEW_PAIRS[parity]
+
+    expected = _host_tiled_d4_oracle(image_np, model_np, 32, 16, views_for_tile)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
+
+
+def test_tiled_apply_d4_tta_full_exact_oracle():
+    """Same oracle, mode='full' (every tile runs all 8 views), non-equivariant
+    model — upgrades the full-mode test beyond pixelwise models."""
     from pytorch_toolbelt_tpu.inference import tiled_apply_d4_tta
 
-    def model(x):
-        # top-left-corner intensity is view-dependent for a non-symmetric input
-        marker = x[:, :1, :1, :1]  # [B,1,1,1]
-        return jnp.broadcast_to(marker, x.shape[:3] + (1,))
+    model_jax, model_np = _nonequivariant_model()
+    rng = np.random.RandomState(43)
+    image_np = rng.random((100, 90, 3)).astype(np.float32)
 
-    rng = np.random.RandomState(42)
-    image = jnp.asarray(rng.random((128, 128, 1)).astype(np.float32))
-    out = tiled_apply_d4_tta(model, image, tile_size=32, tile_step=16, batch_size=4, mode="distributed")
-
-    # Expected at a deep-interior pixel p: weighted mean over the 4 covering
-    # tiles of the mean of that tile's 2 views. Cheaper oracle: the full mode
-    # averages the same 8 view markers but with uniform 1/8 weights within
-    # each tile; for a CONSTANT-output-per-view model both reduce to weighted
-    # means of the same 8 numbers only if the per-tile markers agree -- so we
-    # just assert finiteness + range here (markers are convex combinations of
-    # image values).
-    a = np.asarray(out)
-    assert np.isfinite(a).all()
-    assert a.min() >= 0.0 and a.max() <= 1.0
+    out = tiled_apply_d4_tta(
+        model_jax, jnp.asarray(image_np), tile_size=32, tile_step=16, batch_size=4,
+        mode="full",
+    )
+    expected = _host_tiled_d4_oracle(image_np, model_np, 32, 16, lambda y, x: tuple(range(8)))
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
 
 
 def test_clear_tiled_cache():
