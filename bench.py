@@ -88,17 +88,20 @@ def main():
     # negligible against the ~1 s pipeline.
     perturb = jax.jit(lambda img, out: img * (1.0 + 1e-6 * out[0, 0, 0]))
 
-    # warmup / compile (one chained step so the perturb program is also warm)
+    # warmup / compile (one chained step so the perturb program is also warm).
+    # Sync via a d2h scalar read: on the axon relay block_until_ready() can
+    # return before execution finishes (and compiles are deferred to the
+    # first sync), so a device-to-host read is the only reliable barrier.
     out = run(image)
     image = perturb(image, out)
-    out.block_until_ready()
+    float(out[0, 0, 0])
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run(image)
         image = perturb(image, out)
-    out.block_until_ready()
+    float(out[0, 0, 0])
     dt = (time.perf_counter() - t0) / iters
     mps = megapixels / dt
 
@@ -118,12 +121,12 @@ def main():
 
     out = run_full(image)
     image = perturb(image, out)
-    out.block_until_ready()
+    float(out[0, 0, 0])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run_full(image)
         image = perturb(image, out)
-    out.block_until_ready()
+    float(out[0, 0, 0])
     full_dt = (time.perf_counter() - t0) / iters
     full_mps = megapixels / full_dt
 
@@ -159,12 +162,12 @@ def main():
 
         out = run_sharded(image)
         image = perturb(image, out)
-        out.block_until_ready()
+        float(out[0, 0, 0])
         t0 = time.perf_counter()
         for _ in range(iters):
             out = run_sharded(image)
             image = perturb(image, out)
-        out.block_until_ready()
+        float(out[0, 0, 0])
         sharded_dt = (time.perf_counter() - t0) / iters
         result["multichip_mps"] = round(megapixels / sharded_dt, 2)
         result["n_devices"] = len(devices)

@@ -42,11 +42,11 @@ def bench_loss(name, loss_fn, logits, target, iters=5):
         return x + 1e-4 * grad, value, grad
 
     x, value, grad = step(logits, target)
-    jax.block_until_ready(x)
+    float(value)  # d2h read: reliable sync on the axon relay (flushes compile)
     t0 = time.perf_counter()
     for _ in range(iters):
         x, value, grad = step(x, target)
-    jax.block_until_ready(x)
+    float(value)
     dt = (time.perf_counter() - t0) / iters
     gb = (logits.size + grad.size) * 4 / 1e9  # fp32 read + grad write
     return {"loss": name, "ms": round(dt * 1e3, 2), "GB/s": round(gb / dt, 1), "value": float(value)}
@@ -58,14 +58,38 @@ def main():
     target_int = jnp.asarray(rng.randint(0, C, size=(B, H, W)))
     target_bin = jnp.asarray((rng.rand(B, H, W, C) > 0.5).astype(np.float32))
 
+    probas = jax.nn.softmax(logits, -1)
     results = [
         bench_loss("focal_binary", L.BinaryFocalLoss(), logits, target_bin),
         bench_loss("focal_softmax", L.CrossEntropyFocalLoss(), logits, target_int),
         bench_loss("dice_multiclass", L.DiceLoss(mode="multiclass"), logits, target_int),
         bench_loss("jaccard_multilabel", L.JaccardLoss(mode="multilabel"), logits, target_bin),
-        bench_loss("lovasz_softmax", L.LovaszLoss(), jax.nn.softmax(logits, -1), target_int),
+        bench_loss("lovasz_softmax", L.LovaszLoss(), probas, target_int),
         bench_loss("bitempered", L.BiTemperedLogisticLoss(t1=0.8, t2=1.4), logits, target_int),
     ]
+    # Round-3 Lovasz levers (VERDICT round 2 #3): per-image vmapped sorts
+    # (8 x [19, 2^20] problems instead of [19, 2^23] — ~24% fewer bitonic
+    # passes, and the reference's per_image=True semantics), and 16-bit
+    # compact sort keys (25% less forward-sort traffic, fp32 order truncated
+    # to 23 bits at this shape).  Each is measured alone and combined.
+    from pytorch_toolbelt_tpu.losses import lovasz as lovasz_mod
+
+    results.append(
+        bench_loss("lovasz_softmax_per_image", L.LovaszLoss(per_image=True), probas, target_int)
+    )
+    lovasz_mod.COMPACT_SORT_KEYS = True
+    try:
+        results.append(
+            bench_loss("lovasz_softmax_compact_keys", L.LovaszLoss(), probas, target_int)
+        )
+        results.append(
+            bench_loss(
+                "lovasz_softmax_compact_per_image",
+                L.LovaszLoss(per_image=True), probas, target_int,
+            )
+        )
+    finally:
+        lovasz_mod.COMPACT_SORT_KEYS = False
     for r in results:
         print(json.dumps(r))
 

@@ -471,6 +471,10 @@ def _build_tiled_runner(model_fns, tgt_h, tgt_w, th, tw, out_channels, batch_siz
     @jax.jit
     def run(padded, group_coords, group_valid, weight_dev, inv_norm):
         canvas = jnp.zeros((tgt_h, tgt_w, out_channels), dtype=acc_dtype)
+        # keep the weighted-update arithmetic in the accumulator dtype so a
+        # bf16 canvas stays bf16 through the DUS (the final inv_norm multiply
+        # below still normalizes in fp32)
+        weight_acc = weight_dev.astype(acc_dtype)
 
         def make_step(model_fn):
             def step(canvas, inp):
@@ -483,7 +487,7 @@ def _build_tiled_runner(model_fns, tgt_h, tgt_w, th, tw, out_channels, batch_siz
                 def inner(i, canvas):
                     y, x = batch_coords[i, 0], batch_coords[i, 1]
                     region = lax.dynamic_slice(canvas, (y, x, 0), (th, tw, out_channels))
-                    update = region + preds[i] * weight_dev * batch_valid[i]
+                    update = region + preds[i] * weight_acc * batch_valid[i].astype(acc_dtype)
                     return lax.dynamic_update_slice(canvas, update, (y, x, 0))
 
                 canvas = lax.fori_loop(0, batch_size, inner, canvas)

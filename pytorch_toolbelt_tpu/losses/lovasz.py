@@ -41,6 +41,18 @@ _CHUNK = 1 << 17   # VMEM chunk for the (opt-in) Pallas chunked-bitonic sort
 # default.  See benchmarks/RESULTS.md "Lovasz and the sorting roofline".
 USE_CHUNKED_SORT = False
 
+# Opt-in: 16-bit sort keys for the FORWARD sort (VERDICT round-2 lever).
+# The fp32 error key is mapped to its monotonic-int32 representation and
+# truncated: the top 16 bits become the primary (int16) key and as many of
+# the following mantissa bits as fit next to (fg, position) in the int32
+# payload become the secondary tie-break, so element ordering follows the
+# fp32 order truncated to 16+spare bits (23 bits at the bench's 2^23-pixel
+# rows).  Per-element sort traffic drops from 8 to 6 bytes; ordering below
+# the truncation is resolved by fg-then-position instead of the full
+# mantissa, which perturbs the loss by O(2^-14) relative — measured against
+# the exact path in benchmarks/loss_bench.py before trusting it anywhere.
+COMPACT_SORT_KEYS = False
+
 
 def _sort2(keys: jnp.ndarray, payload: jnp.ndarray):
     """Ascending 2-operand sort along the last axis (lax.sort, or the Pallas
@@ -92,16 +104,61 @@ def _lovasz_dot(errors_masked: jnp.ndarray, fg: jnp.ndarray, hinge: bool) -> jnp
     return out
 
 
+def _monotonic_int32(x: jnp.ndarray) -> jnp.ndarray:
+    """Bijective fp32 -> int32 map preserving total order (signed compare)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return bits ^ ((bits >> 31) & jnp.int32(0x7FFFFFFF))
+
+
+def _compact_key_sort(neg_errors: jnp.ndarray, fg: jnp.ndarray):
+    """Forward sort with 16-bit primary keys (COMPACT_SORT_KEYS lever).
+
+    key16 = top 16 bits of the monotonic-int32 map of -errors; the int32
+    payload packs [spare tie-break mantissa bits | fg | position], so the
+    2-key sort orders by fp32-truncated-to-(16+spare) bits, then fg, then
+    position.  Returns (errors_sorted?, fg_sorted, perm) where
+    errors_sorted? is the truncated reconstruction (exact to 2^-,
+    (16+spare-9) mantissa bits).
+    """
+    p = neg_errors.shape[-1]
+    pos_bits = max(1, (p - 1).bit_length())
+    if pos_bits > 30:
+        raise ValueError(f"compact keys support up to 2^30 pixels per row, got {p}")
+    # payload stays non-negative: [tie | fg | pos] in 31 bits; at most the 16
+    # low bits of the monotonic key remain to tie-break with
+    tie_bits = min(16, 30 - pos_bits)
+    k32 = _monotonic_int32(neg_errors)
+    key16 = (k32 >> 16).astype(jnp.int16)
+    tie = (k32 >> (16 - tie_bits)) & ((1 << tie_bits) - 1) if tie_bits > 0 else 0
+    iota = jax.lax.broadcasted_iota(jnp.int32, neg_errors.shape, neg_errors.ndim - 1)
+    payload = (tie << (pos_bits + 1)) | (fg > 0.5).astype(jnp.int32) << pos_bits | iota
+    key16_s, payload_s = jax.lax.sort((key16, payload), dimension=-1, num_keys=2)
+    fg_sorted = ((payload_s >> pos_bits) & 1).astype(neg_errors.dtype)
+    perm = payload_s & ((1 << pos_bits) - 1)
+    # reconstruct the (truncated) sorted key without a gather
+    k32_r = key16_s.astype(jnp.int32) << 16
+    if tie_bits > 0:
+        k32_r = k32_r | (((payload_s >> (pos_bits + 1)) & ((1 << tie_bits) - 1)) << (16 - tie_bits))
+    neg_sorted = jax.lax.bitcast_convert_type(
+        k32_r ^ ((k32_r >> 31) & jnp.int32(0x7FFFFFFF)), jnp.float32
+    )
+    return neg_sorted, fg_sorted, perm
+
+
 def _lovasz_dot_fwd(errors_masked, fg, hinge):
     p = errors_masked.shape[-1]
     if p >= (1 << _FG_BIT):
         raise ValueError(f"Lovasz sort supports up to 2^{_FG_BIT} pixels per row, got {p}")
-    iota = jax.lax.broadcasted_iota(jnp.int32, errors_masked.shape, errors_masked.ndim - 1)
-    packed = jnp.where(fg > 0.5, iota | (1 << _FG_BIT), iota)
-    neg_sorted, packed_sorted = _sort2(-errors_masked, packed)
-    errors_sorted = -neg_sorted
-    fg_sorted = (packed_sorted >> _FG_BIT).astype(errors_masked.dtype)
-    perm = packed_sorted & ((1 << _FG_BIT) - 1)
+    if COMPACT_SORT_KEYS:
+        neg_sorted, fg_sorted, perm = _compact_key_sort(-errors_masked, fg)
+        errors_sorted = -neg_sorted
+    else:
+        iota = jax.lax.broadcasted_iota(jnp.int32, errors_masked.shape, errors_masked.ndim - 1)
+        packed = jnp.where(fg > 0.5, iota | (1 << _FG_BIT), iota)
+        neg_sorted, packed_sorted = _sort2(-errors_masked, packed)
+        errors_sorted = -neg_sorted
+        fg_sorted = (packed_sorted >> _FG_BIT).astype(errors_masked.dtype)
+        perm = packed_sorted & ((1 << _FG_BIT) - 1)
 
     valid_sorted = (errors_sorted > _SENTINEL * 0.5).astype(errors_masked.dtype)
     w = _lovasz_grad_terms(fg_sorted, valid_sorted)

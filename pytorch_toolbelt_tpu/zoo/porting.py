@@ -21,10 +21,13 @@ __all__ = [
     "port_torch_state_dict",
     "bn_mapping",
     "conv_mapping",
+    "prefix_mapping",
     "mobilenet_v2_mapping",
     "senet_mapping",
     "inception_v4_mapping",
     "wider_resnet_mapping",
+    "fpn_decoder_mapping",
+    "resize_head_mapping",
 ]
 
 
@@ -141,6 +144,42 @@ def bn_mapping(flax_prefix: Tuple[str, ...], torch_prefix: str) -> Dict:
         ("batch_stats",) + flax_prefix + ("mean",): f"{torch_prefix}.running_mean",
         ("batch_stats",) + flax_prefix + ("var",): f"{torch_prefix}.running_var",
     }
+
+
+def prefix_mapping(mapping: Dict[Tuple[str, ...], str], flax_prefix: Tuple[str, ...]) -> Dict:
+    """Re-root every flax path of ``mapping`` under ``flax_prefix`` (inserted
+    after the collection key, e.g. ('params', *prefix, ...)).  Lets component
+    mappings compose into an ``EncoderDecoderModel`` whose children are named
+    'encoder' / 'decoder' / 'head'."""
+    return {
+        (path[0],) + tuple(flax_prefix) + tuple(path[1:]): torch_key
+        for path, torch_key in mapping.items()
+    }
+
+
+def fpn_decoder_mapping(num_levels: int, torch_prefix: str = "") -> Dict[Tuple[str, ...], str]:
+    """Flax zoo FPNDecoder <- reference FPNDecoder state dict
+    (modules/decoders/fpn.py:13-88, default conv1x1/conv3x3 blocks).
+
+    Flax compact naming: laterals are Conv_0..Conv_{n-1} in fine-to-coarse
+    order (= torch lateral.{i}); the prediction convs are created while
+    walking coarse-to-fine, so flax Conv_{n+j} <-> torch outputs.{j} (torch
+    zips outputs against the reversed lateral list, j=0 is the coarsest
+    non-context level on both sides)."""
+    p = f"{torch_prefix}." if torch_prefix else ""
+    m: Dict[Tuple[str, ...], str] = {}
+    for i in range(num_levels):
+        m.update(conv_mapping((f"Conv_{i}",), f"{p}lateral.{i}", bias=True))
+    for j in range(num_levels - 1):
+        m.update(conv_mapping((f"Conv_{num_levels + j}",), f"{p}outputs.{j}", bias=True))
+    return m
+
+
+def resize_head_mapping(torch_prefix: str = "") -> Dict[Tuple[str, ...], str]:
+    """Flax zoo ResizeHead <- reference ResizeHead (modules/heads/resize.py:11-79):
+    a single biased conv ('final')."""
+    p = f"{torch_prefix}." if torch_prefix else ""
+    return conv_mapping(("Conv_0",), f"{p}final", bias=True)
 
 
 def mobilenet_v2_mapping() -> Dict[Tuple[str, ...], str]:

@@ -346,6 +346,41 @@ def test_lovasz_softmax_parity(per_image, ignore):
 
 
 @requires_reference
+@pytest.mark.parametrize("per_image", [False, True])
+def test_lovasz_softmax_compact_keys_parity(per_image):
+    """The 16-bit compact-key sort (losses/lovasz.py COMPACT_SORT_KEYS) must
+    match the torch reference like the exact path does.  At this size the
+    payload's spare tie-break bits retain the full monotonic-int32 key, so
+    the ordering — and therefore value AND gradient — is exact; at the bench
+    shape (2^23 pixels) ordering truncates to 23 bits (documented in
+    benchmarks/RESULTS.md)."""
+    import torch
+    from pytorch_toolbelt.losses import LovaszLoss as RefLoss
+
+    from pytorch_toolbelt_tpu.losses import lovasz as lovasz_mod
+
+    num_classes = 4
+    rng = np.random.RandomState(11)
+    probas = jax.nn.softmax(jnp.asarray(rng.randn(2, num_classes, 12, 12).astype(np.float32)), axis=1)
+    probas = np.asarray(probas)
+    target = rng.randint(0, num_classes, size=(2, 12, 12))
+
+    probas_j = np.moveaxis(probas, 1, -1)
+    mine = L.LovaszLoss(per_image=per_image)
+    ref = RefLoss(per_image=per_image)
+
+    lovasz_mod.COMPACT_SORT_KEYS = True
+    try:
+        _parity(
+            lambda x: mine(x, jnp.asarray(target)),
+            lambda x: ref(x.moveaxis(-1, 1), torch.tensor(target)),
+            probas_j,
+        )
+    finally:
+        lovasz_mod.COMPACT_SORT_KEYS = False
+
+
+@requires_reference
 @pytest.mark.parametrize("t1,t2", [(1.0, 1.0), (0.8, 1.4), (0.9, 3.0), (1.0, 0.8), (0.5, 0.7)])
 def test_bitempered_parity(t1, t2):
     import torch

@@ -103,6 +103,26 @@ def test_tiled_apply_end_to_end():
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
 
 
+def test_tiled_apply_bf16_accumulator():
+    """bf16 canvas accumulation (normalize still in fp32) stays within bf16
+    rounding of the fp32-canvas pipeline — the VERDICT round-2 #2 lever must
+    at least be usable (round-2 shipped it with a dtype crash in the DUS)."""
+
+    def model(x):
+        return jnp.mean(x, axis=-1, keepdims=True) * 3.0
+
+    image = jnp.asarray(np.random.random((300, 280, 3)).astype(np.float32))
+    ref = tiled_apply(model, image, tile_size=128, tile_step=64, weight="pyramid", batch_size=4)
+    out = tiled_apply(
+        model, image, tile_size=128, tile_step=64, weight="pyramid", batch_size=4,
+        accumulator_dtype=jnp.bfloat16,
+    )
+    assert out.dtype == ref.dtype  # output dtype follows the model, not the canvas
+    # bf16 has ~2-3 significant decimal digits; a 4-tile overlap-add then
+    # fp32 normalize keeps relative error near single-rounding level
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=6e-2)
+
+
 def test_tiled_apply_mean_weight():
     def model(x):
         return x * 1.0
