@@ -43,7 +43,72 @@ from ..ops.conv_kernels import (
     pack_conv3x3_weights,
 )
 
-__all__ = ["fuse_unet_inference"]
+__all__ = ["fuse_unet_inference", "fuse_unet_inference_s2d"]
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth (s2d) strategy
+#
+# A 32-channel conv fills 32/128 MXU lanes.  Space-to-depth trades spatial
+# resolution for channels: the stride-1 level runs at H/2 x W/2 with 4x the
+# channels, where the SAME 3x3 conv is expressible exactly as a 3x3 conv on
+# the s2d representation with block-scattered weights (4x the FLOPs — the
+# kernel support quadruples — but at dense-conv MXU efficiency, a measured
+# net win; see benchmarks/RESULTS.md round-3 narrow-conv study).  Channel
+# packing: s2d channel index = (2a + b) * C + c for pixel parity (a, b).
+# ---------------------------------------------------------------------------
+
+
+def _s2d(x):
+    """[B, H, W, C] -> [B, H/2, W/2, 4C] with (a, b, c)-major packing."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _d2s(x):
+    """Inverse of :func:`_s2d`."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def _s2d_conv_weights(w_hwio, idx_in=None, ci_total=None):
+    """[3, 3, C_in, C_out] -> [3, 3, 4*C_in_total, 4*C_out] such that
+    conv(s2d(x), w') == s2d(conv(x, w)) for stride-1 SAME convs.
+
+    Derivation: an original tap at offset u = a + dy - 1 lands on s2d cell
+    Dy = floor(u/2) with parity a' = u mod 2, so every (a, b) output block
+    gathers from at most 3x3 s2d neighbours with parity-remapped weights.
+
+    ``idx_in(a, b, c) -> flat channel`` overrides the input packing — needed
+    when the s2d input is a CONCAT of independently-packed tensors (the
+    U-Net decoder's upsample+skip concat).
+    """
+    w = np.asarray(w_hwio, dtype=np.float32)
+    kh, kw, ci, co = w.shape
+    if (kh, kw) != (3, 3):
+        raise ValueError(f"s2d transform expects 3x3 weights, got {kh}x{kw}")
+    if idx_in is None:
+        idx_in = lambda a, b, c: (2 * a + b) * ci + c  # noqa: E731
+    if ci_total is None:
+        ci_total = ci
+    ws = np.zeros((3, 3, 4 * ci_total, 4 * co), dtype=np.float32)
+    for a in range(2):
+        for b in range(2):
+            out_sl = slice((2 * a + b) * co, (2 * a + b + 1) * co)
+            for dy in range(3):
+                u = a + dy - 1
+                dy_s, ap = u // 2 + 1, u % 2
+                for dx in range(3):
+                    v = b + dx - 1
+                    dx_s, bp = v // 2 + 1, v % 2
+                    for c in range(ci):
+                        ws[dy_s, dx_s, idx_in(ap, bp, c), out_sl] += w[dy, dx, c, :]
+    return jnp.asarray(ws)
 
 
 def _fold_block(params, stats):
@@ -115,6 +180,158 @@ def _upsample_bilinear_hcw(x, out_h: int, out_w: int, align_corners: bool = True
     ww = jnp.asarray(_linear_weights(w, out_w, align_corners, np.float32)).astype(x.dtype)
     x = jnp.einsum("nhcw,oh->nocw", x, wh)
     return jnp.einsum("nhcw,ow->nhco", x, ww)
+
+
+def _conv_nhwc(x, w, scale, bias, relu=True):
+    """Plain XLA NHWC conv with folded scale/bias [+ReLU], bf16 out."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16),
+        w.astype(jnp.bfloat16),
+        (1, 1),
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = y * scale[None, None, None, :] + bias[None, None, None, :]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(jnp.bfloat16)
+
+
+def _upsample_bilinear_nhwc(x, out_h, out_w, align_corners=True):
+    wh = jnp.asarray(_linear_weights(x.shape[1], out_h, align_corners, np.float32)).astype(x.dtype)
+    ww = jnp.asarray(_linear_weights(x.shape[2], out_w, align_corners, np.float32)).astype(x.dtype)
+    x = jnp.einsum("nhwc,oh->nowc", x, wh)
+    return jnp.einsum("nhwc,ow->nhoc", x, ww)
+
+
+def _upsample_bilinear_to_s2d(x, out_h, out_w, align_corners=True):
+    """Bilinear-upsample [B, h, w, C] to (out_h, out_w) and return the s2d
+    packing [B, out_h/2, out_w/2, 4C] WITHOUT materialising the full-res
+    tensor: the (a, b) parity blocks are separate interpolation-matrix
+    einsums (rows of the full matrix, taken with stride 2)."""
+    wh = np.asarray(_linear_weights(x.shape[1], out_h, align_corners, np.float32))
+    ww = np.asarray(_linear_weights(x.shape[2], out_w, align_corners, np.float32))
+    blocks = []
+    for a in range(2):
+        rows = jnp.einsum("nhwc,oh->nowc", x, jnp.asarray(wh[a::2]).astype(x.dtype))
+        for b in range(2):
+            blocks.append(
+                jnp.einsum("nhwc,ow->nhoc", rows, jnp.asarray(ww[b::2]).astype(x.dtype))
+            )
+    # concatenation order [a0b0, a0b1, a1b0, a1b1] == (2a+b)-major blocks of
+    # C channels each == exactly the _s2d packing
+    return jnp.concatenate(blocks, axis=-1)
+
+
+def fuse_unet_inference_s2d(model, variables) -> Callable:
+    """Pure-XLA fused inference forward that runs the stride-1 level of
+    ``UNetSegmentationModel`` in SPACE-TO-DEPTH form.
+
+    The 32-channel convs of the full-resolution level fill 32/128 MXU
+    lanes; in s2d form they become dense 128-channel convs at half
+    resolution (4x FLOPs at full lane occupancy — a measured net win, see
+    benchmarks/RESULTS.md).  All deeper levels run as plain NHWC convs with
+    inference-folded BatchNorm.  Matches ``model.apply(variables, x)`` at
+    bf16 tolerance (tests/test_fast_unet.py).
+
+    Reference semantics: modules/unet.py:10-48 + decoders/unet.py:24-129 +
+    heads (model.eval() forward).
+    """
+    if model.activation != ACT_RELU:
+        raise NotImplementedError("fuse_unet_inference_s2d supports activation='relu' only")
+    if model.normalization.lower() not in _BATCH_ALIASES:
+        raise NotImplementedError("fuse_unet_inference_s2d supports batch normalization only")
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    num_layers = model.num_layers
+    num_stages = num_layers - 1
+    c0 = model.encoder_channels
+
+    enc = [
+        _fold_block(params["UnetEncoder_0"][f"UnetBlock_{i}"], stats["UnetEncoder_0"][f"UnetBlock_{i}"])
+        for i in range(num_layers)
+    ]
+    dec = [
+        _fold_block(params["UNetDecoder_0"][f"UnetBlock_{i}"], stats["UNetDecoder_0"][f"UnetBlock_{i}"])
+        for i in range(num_stages)
+    ]
+    head_w = params["ResizeHead_0"]["Conv_0"]["kernel"]
+    head_b = params["ResizeHead_0"]["Conv_0"]["bias"].astype(jnp.float32)
+    output_name = model.output_name
+
+    def tile4(v):
+        return jnp.tile(v, 4)
+
+    # ---- level-0 weights, transformed to s2d space (host, once) ----
+    (w_stem, s_stem, b_stem), (w_e0c1, s_e0c1, b_e0c1) = enc[0]
+    w_stem_s = _s2d_conv_weights(w_stem)
+    w_e0c1_s = _s2d_conv_weights(w_e0c1)
+
+    # decoder stage 0 (flax block index num_stages-1): input = concat of the
+    # upsampled stage-1 output (up_c channels, s2d-packed first) + the level-0
+    # skip (c0 channels, s2d-packed second) — scatter weights to match.
+    (w_d0c0, s_d0c0, b_d0c0), (w_d0c1, s_d0c1, b_d0c1) = dec[num_stages - 1]
+    ci_cat = int(w_d0c0.shape[2])
+    up_c = ci_cat - c0
+
+    def idx_cat(a, b, c):
+        if c < up_c:
+            return (2 * a + b) * up_c + c
+        return 4 * up_c + (2 * a + b) * c0 + (c - up_c)
+
+    w_d0c0_s = _s2d_conv_weights(w_d0c0, idx_in=idx_cat, ci_total=ci_cat)
+    w_d0c1_s = _s2d_conv_weights(w_d0c1)
+    w_head_s = _s2d_conv_weights(head_w)
+
+    @jax.jit
+    def forward(x):
+        in_h, in_w = x.shape[1], x.shape[2]
+        x = _s2d(x.astype(jnp.bfloat16))
+        x = _conv_nhwc(x, w_stem_s, tile4(s_stem), tile4(b_stem))
+        skip0_s2d = _conv_nhwc(x, w_e0c1_s, tile4(s_e0c1), tile4(b_e0c1))
+
+        # pool level0 -> level1: 2x2 max == max over the 4 parity blocks
+        b_, h_, w_, _ = skip0_s2d.shape
+        x = skip0_s2d.reshape(b_, h_, w_, 4, c0).max(axis=3)
+
+        # deeper encoder levels: plain NHWC
+        skips = []
+        for layer in range(1, num_layers):
+            if layer > 1:
+                x = jnp.maximum(
+                    jnp.maximum(x[:, 0::2, 0::2], x[:, 0::2, 1::2]),
+                    jnp.maximum(x[:, 1::2, 0::2], x[:, 1::2, 1::2]),
+                )
+            for (w, s, b) in enc[layer]:
+                x = _conv_nhwc(x, w, s, b)
+            skips.append(x)
+
+        # decoder stages coarse -> fine, down to stage 1 in NHWC
+        for i in range(num_stages - 1, 0, -1):
+            skip = skips[i - 1]  # skips[0] == level-1 output
+            x = _upsample_bilinear_nhwc(x, skip.shape[1], skip.shape[2])
+            x = jnp.concatenate([x, skip], axis=-1)
+            for (w, s, b) in dec[num_stages - 1 - i]:
+                x = _conv_nhwc(x, w, s, b)
+
+        # stage 0 in s2d space
+        x = _upsample_bilinear_to_s2d(x, 2 * x.shape[1], 2 * x.shape[2])
+        x = jnp.concatenate([x, skip0_s2d], axis=-1)
+        x = _conv_nhwc(x, w_d0c0_s, tile4(s_d0c0), tile4(b_d0c0))
+        x = _conv_nhwc(x, w_d0c1_s, tile4(s_d0c1), tile4(b_d0c1))
+
+        # head conv (+bias, no relu) in s2d, then depth-to-space
+        y = _conv_nhwc(x, w_head_s, jnp.ones(4 * head_w.shape[3]), tile4(head_b), relu=False)
+        y = _d2s(y)
+        if (y.shape[1], y.shape[2]) != (in_h, in_w):
+            y = _upsample_bilinear_nhwc(y, in_h, in_w, align_corners=False)
+        if output_name is not None:
+            return {output_name: y}
+        return y
+
+    return forward
 
 
 def fuse_unet_inference(model, variables, *, interpret: bool = False) -> Callable:

@@ -20,7 +20,13 @@ from pytorch_toolbelt_tpu.ops.conv_kernels import (
     pack_conv3x3_weights,
 )
 from pytorch_toolbelt_tpu.zoo import UNetSegmentationModel
-from pytorch_toolbelt_tpu.zoo.fast_unet import fuse_unet_inference
+from pytorch_toolbelt_tpu.zoo.fast_unet import (
+    _d2s,
+    _s2d,
+    _s2d_conv_weights,
+    fuse_unet_inference,
+    fuse_unet_inference_s2d,
+)
 
 
 def _reference_conv_hcw(x_hcw, w_hwio, scale, bias, relu):
@@ -119,6 +125,39 @@ def test_fuse_unet_inference_output_name_dict():
     )
     assert set(out.keys()) == {"mask"}
     assert out["mask"].shape == (1, 64, 64, 1)
+
+
+def test_s2d_roundtrip_and_conv_equivalence():
+    """conv(s2d(x), s2d_weights(w)) == s2d(conv(x, w)) exactly (fp32)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 5)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 5, 7)), jnp.float32)
+    np.testing.assert_allclose(_d2s(_s2d(x)), x)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    got = _d2s(
+        jax.lax.conv_general_dilated(
+            _s2d(x),
+            _s2d_conv_weights(w),
+            (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("num_classes,channels", [(1, 32), (3, 16)])
+def test_fuse_unet_inference_s2d_matches_model_apply(num_classes, channels):
+    model = UNetSegmentationModel(num_classes=num_classes, encoder_channels=channels)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    want = model.apply(variables, x)
+    got = fuse_unet_inference_s2d(model, variables)(x).astype(jnp.float32)
+    scale = float(jnp.abs(want).max())
+    assert float(jnp.abs(got - want).max()) <= 2e-2 * scale
 
 
 def test_fuse_unet_inference_rejects_unsupported_config():
