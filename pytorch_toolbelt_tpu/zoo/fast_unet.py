@@ -1,30 +1,26 @@
-"""Fused TPU inference path for ``UNetSegmentationModel``.
+"""Fused TPU inference paths for ``UNetSegmentationModel``.
 
-Why: XLA maps a conv's output channels to MXU lanes, so the narrow
-(32/64-ch) convs that dominate the BASELINE UNet-32 fill only a quarter of
-the systolic array (~7-9 TF/s measured on v5e, benchmarks/RESULTS.md).
-``ops/conv_kernels.conv3x3_hcw`` transposes the GEMM mapping (spatial
-positions on lanes, the 3x3xC_in contraction on sublanes) and measures
-2.1-2.8x XLA on exactly those shapes — but it wants activations in
-``[B, H, C, W]`` ("HCW") layout and inference-folded BatchNorm.
+Both paths replay the trained model's inference forward from its flax
+variables with BatchNorm folded into the convs on host, matching
+``model.apply(variables, x, training=False)`` to bf16 tolerance
+(tests/test_fast_unet.py; reference semantics modules/unet.py:10-48 +
+decoders/unet.py:24-129, ``model.eval()``).
 
-``fuse_unet_inference`` therefore replays the whole model forward in HCW
-layout ONCE per fuse call, from the trained flax variables:
+* ``fuse_unet_inference_s2d`` — RECOMMENDED for small-batch serving.
+  Pure XLA; runs the stride-1 level in space-to-depth form where its
+  lane-starved 32-channel convs become dense 128-channel convs.  Measured
+  1.25x over ``model.apply`` at B=32 x 512^2 on v5e; parity (not a win) at
+  the B>=64 batches of the tiled d4 pipeline, where XLA's narrow convs
+  already run near the pipeline average — see benchmarks/RESULTS.md
+  "Round-3 narrow-conv study" for the full batch-dependence measurement.
 
-* every conv+BN+ReLU collapses to one Pallas call with a fused epilogue
-  (weights packed and BN folded eagerly, on host, at fuse time);
-* pool / bilinear-upsample / concat run in HCW too (strided-slice max,
-  interpolation-matrix einsums on axes 1/3, channel-axis concat), so there
-  are NO layout transposes anywhere in the hot loop — only the 3-channel
-  input and the num_classes output cross layouts, both negligible;
-* convs whose static shape the kernel does not support (the W<128 deep
-  levels, the num_classes head) fall back to XLA's conv *in HCW layout*
-  via ``dimension_numbers=("NHCW", "HWIO", "NHCW")``.
-
-Semantics matched: ``model.apply(variables, x, training=False)`` with
-batch-norm inference statistics — the reference's ``model.eval()`` forward
-(reference modules/unet.py:10-48 + decoders/unet.py:24-129).  Verified to
-bf16 tolerance in tests/test_fast_unet.py.
+* ``fuse_unet_inference`` — the ``[B, H, C, W]`` ("HCW") layout variant
+  built on the Pallas implicit-GEMM kernel (``ops/conv_kernels``), with
+  pool/upsample/concat in HCW and zero hot-loop transposes.  Kept as a
+  measured negative result and as the harness for HCW-native pipelines:
+  the kernel beats an ISOLATED XLA conv 1.9-2x, but in-model XLA's layout
+  freedom reaches the same speed, and this path measures 169 vs 103 ms
+  end-to-end against ``model.apply`` (RESULTS.md, same study).
 """
 
 from typing import Callable, List
@@ -182,9 +178,9 @@ def _upsample_bilinear_hcw(x, out_h: int, out_w: int, align_corners: bool = True
     return jnp.einsum("nhcw,ow->nhco", x, ww)
 
 
-def _conv_nhwc(x, w, scale, bias, relu=True):
-    """Plain XLA NHWC conv with folded scale/bias [+ReLU], bf16 out."""
-    y = jax.lax.conv_general_dilated(
+def _conv_raw(x, w):
+    """Plain XLA NHWC 3x3 SAME conv, fp32 accumulator out."""
+    return jax.lax.conv_general_dilated(
         x.astype(jnp.bfloat16),
         w.astype(jnp.bfloat16),
         (1, 1),
@@ -192,6 +188,11 @@ def _conv_nhwc(x, w, scale, bias, relu=True):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
+
+
+def _conv_nhwc(x, w, scale, bias, relu=True):
+    """Plain XLA NHWC conv with folded scale/bias [+ReLU], bf16 out."""
+    y = _conv_raw(x, w)
     y = y * scale[None, None, None, :] + bias[None, None, None, :]
     if relu:
         y = jnp.maximum(y, 0.0)
@@ -205,23 +206,23 @@ def _upsample_bilinear_nhwc(x, out_h, out_w, align_corners=True):
     return jnp.einsum("nhwc,ow->nhoc", x, ww)
 
 
-def _upsample_bilinear_to_s2d(x, out_h, out_w, align_corners=True):
-    """Bilinear-upsample [B, h, w, C] to (out_h, out_w) and return the s2d
-    packing [B, out_h/2, out_w/2, 4C] WITHOUT materialising the full-res
-    tensor: the (a, b) parity blocks are separate interpolation-matrix
-    einsums (rows of the full matrix, taken with stride 2)."""
+def _upsample_bilinear_to_s2d_cols(x, out_h, out_w, align_corners=True):
+    """Bilinear-upsample [B, h, w, C] to (out_h, out_w), emitted as the TWO
+    column-parity tensors of the s2d packing WITHOUT materialising the
+    full-res tensor: ``cols[b]`` is [B, out_h/2, out_w/2, 2C] with channel
+    order [a=0 block | a=1 block].  Row parities ride the channel axis from
+    the start so every intermediate is a wide (2C >= 128) well-tiled tensor
+    — the naive 4-separate-block form costs 2x memory in XLA layout padding
+    at C=64 and OOMs the full-d4 pipeline at batch 128."""
     wh = np.asarray(_linear_weights(x.shape[1], out_h, align_corners, np.float32))
     ww = np.asarray(_linear_weights(x.shape[2], out_w, align_corners, np.float32))
-    blocks = []
-    for a in range(2):
-        rows = jnp.einsum("nhwc,oh->nowc", x, jnp.asarray(wh[a::2]).astype(x.dtype))
-        for b in range(2):
-            blocks.append(
-                jnp.einsum("nhwc,ow->nhoc", rows, jnp.asarray(ww[b::2]).astype(x.dtype))
-            )
-    # concatenation order [a0b0, a0b1, a1b0, a1b1] == (2a+b)-major blocks of
-    # C channels each == exactly the _s2d packing
-    return jnp.concatenate(blocks, axis=-1)
+    rows = jnp.concatenate(
+        [jnp.einsum("nhwc,oh->nowc", x, jnp.asarray(wh[a::2]).astype(x.dtype)) for a in range(2)],
+        axis=-1,
+    )  # [B, out_h/2, w, 2C]
+    return tuple(
+        jnp.einsum("nhwc,ow->nhoc", rows, jnp.asarray(ww[b::2]).astype(x.dtype)) for b in range(2)
+    )
 
 
 def fuse_unet_inference_s2d(model, variables) -> Callable:
@@ -282,6 +283,19 @@ def fuse_unet_inference_s2d(model, variables) -> Callable:
         return 4 * up_c + (2 * a + b) * c0 + (c - up_c)
 
     w_d0c0_s = _s2d_conv_weights(w_d0c0, idx_in=idx_cat, ci_total=ci_cat)
+    # split d0c0 over its three input parts (col-parity-0 upsample blocks,
+    # col-parity-1 blocks, skip) so the 4*ci_cat-channel concat never
+    # materialises: conv(concat(u0, u1, s)) == conv(u0) + conv(u1) + conv(s).
+    # _upsample_bilinear_to_s2d_cols packs cols[b] channels as [a=0 | a=1],
+    # i.e. original blocks (2a+b) = b and 2+b.
+    def col_w(b):
+        return jnp.concatenate(
+            [w_d0c0_s[:, :, b * up_c : (b + 1) * up_c], w_d0c0_s[:, :, (2 + b) * up_c : (3 + b) * up_c]],
+            axis=2,
+        )
+
+    w_d0c0_col = (col_w(0), col_w(1))
+    w_d0c0_skip = w_d0c0_s[:, :, 4 * up_c :]
     w_d0c1_s = _s2d_conv_weights(w_d0c1)
     w_head_s = _s2d_conv_weights(head_w)
 
@@ -316,10 +330,15 @@ def fuse_unet_inference_s2d(model, variables) -> Callable:
             for (w, s, b) in dec[num_stages - 1 - i]:
                 x = _conv_nhwc(x, w, s, b)
 
-        # stage 0 in s2d space
-        x = _upsample_bilinear_to_s2d(x, 2 * x.shape[1], 2 * x.shape[2])
-        x = jnp.concatenate([x, skip0_s2d], axis=-1)
-        x = _conv_nhwc(x, w_d0c0_s, tile4(s_d0c0), tile4(b_d0c0))
+        # stage 0 in s2d space, d0c0 as a 3-part split conv (see col_w above)
+        cols = _upsample_bilinear_to_s2d_cols(x, 2 * x.shape[1], 2 * x.shape[2])
+        y = _conv_raw(cols[0], w_d0c0_col[0])
+        y = y + _conv_raw(cols[1], w_d0c0_col[1])
+        y = y + _conv_raw(skip0_s2d, w_d0c0_skip)
+        s4, b4 = tile4(s_d0c0), tile4(b_d0c0)
+        x = jnp.maximum(y * s4[None, None, None, :] + b4[None, None, None, :], 0.0).astype(
+            jnp.bfloat16
+        )
         x = _conv_nhwc(x, w_d0c1_s, tile4(s_d0c1), tile4(b_d0c1))
 
         # head conv (+bias, no relu) in s2d, then depth-to-space
