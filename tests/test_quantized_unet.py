@@ -1,0 +1,77 @@
+"""Int8 post-training quantized UNet inference (zoo/quantized_unet.py).
+
+Fidelity is judged against the f32 ``model.apply`` forward the
+quantization is calibrated from; the tolerance encodes expected int8 PTQ
+error (a few percent relative RMS), and the TRAINED-model quality deltas
+live in benchmarks/RESULTS.md.  The torch reference has no quantized path
+(TPU-native extension)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_toolbelt_tpu.zoo import UNetSegmentationModel
+from pytorch_toolbelt_tpu.zoo.quantized_unet import (
+    _q_upsample,
+    _q_upsample_matrices,
+    quantize_unet_inference,
+)
+
+
+def _rel_rms(got, want):
+    got, want = np.asarray(got, np.float64), np.asarray(want, np.float64)
+    return float(np.sqrt(((got - want) ** 2).mean()) / np.sqrt((want**2).mean()))
+
+
+def test_quantized_matches_f32_within_ptq_tolerance():
+    model = UNetSegmentationModel(num_classes=1, encoder_channels=32, growth_factor=2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    rng = np.random.default_rng(1)
+    cal = jnp.asarray(rng.random((2, 128, 128, 3)), jnp.float32)
+    x = jnp.asarray(rng.random((2, 128, 128, 3)), jnp.float32)
+
+    want = model.apply(variables, x)
+    got = quantize_unet_inference(model, variables, cal)(x)
+    assert got.dtype == jnp.float32
+    assert _rel_rms(got, want) < 0.06  # int8 PTQ: a few percent
+
+
+def test_quantized_deterministic_and_finite():
+    model = UNetSegmentationModel(num_classes=3, encoder_channels=16, num_layers=3)
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    rng = np.random.default_rng(2)
+    cal = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    fwd = quantize_unet_inference(model, variables, cal)
+    x = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    a, b = fwd(x), fwd(x)
+    assert np.isfinite(np.asarray(a)).all()
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # integer math: bit-exact
+
+
+def test_q_upsample_matches_float_bilinear():
+    """Int8 interpolation einsums track the float bilinear (align_corners)
+    within interpolation-weight quantization error (~1%)."""
+    rng = np.random.default_rng(3)
+    x = rng.integers(-127, 127, (1, 8, 8, 4))
+    mh, mw, mult = _q_upsample_matrices(8, 8, 16, 16)
+    got = np.asarray(_q_upsample(jnp.asarray(x, jnp.int8), mh, mw), np.float64) * mult
+
+    from pytorch_toolbelt_tpu.nn.functional import resize_bilinear
+
+    want = np.asarray(resize_bilinear(jnp.asarray(x, jnp.float32), (16, 16), align_corners=True))
+    assert _rel_rms(got, want) < 0.02
+
+
+def test_quantized_output_name_and_rejects_unsupported():
+    model = UNetSegmentationModel(
+        num_classes=1, encoder_channels=16, num_layers=3, output_name="mask"
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    cal = jnp.zeros((1, 64, 64, 3), jnp.float32) + 0.5
+    out = quantize_unet_inference(model, variables, cal)(cal)
+    assert set(out.keys()) == {"mask"}
+
+    bad = UNetSegmentationModel(num_classes=1, activation="silu")
+    with pytest.raises(NotImplementedError):
+        quantize_unet_inference(bad, {"params": {}, "batch_stats": {}}, cal)
