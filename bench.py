@@ -141,6 +141,45 @@ def main():
         "baseline_kind": "estimated_h100_from_measured_cpu_run",
     }
 
+    # int8 PTQ variant of the same pipeline (zoo/quantized_unet.py): fully
+    # integer network, calibrated on tiles of the bench image itself.
+    # Reported as SEPARATE fields — `value` stays the bf16 number so the
+    # metric is never silently re-based onto a lower-precision algorithm.
+    try:
+        from pytorch_toolbelt_tpu.inference import ImageSlicer
+        from pytorch_toolbelt_tpu.zoo.quantized_unet import quantize_unet_inference
+
+        slicer = ImageSlicer((IMAGE_SIZE, IMAGE_SIZE), TILE_SIZE, TILE_STEP)
+        cal = jnp.stack([jnp.asarray(t) for t in slicer.split(np.asarray(image))[:4]])
+        q_forward = quantize_unet_inference(model, variables, cal)
+
+        ref_out = forward(cal).astype(jnp.float32)
+        q_out = q_forward(cal)
+        rel_rms = float(
+            jnp.sqrt(jnp.mean((q_out - ref_out) ** 2)) / jnp.sqrt(jnp.mean(ref_out**2))
+        )
+
+        def run_q(img):
+            return tiled_apply_d4_tta(
+                q_forward, img, tile_size=TILE_SIZE, tile_step=TILE_STEP,
+                weight="pyramid", batch_size=2 * BATCH, mode="distributed",
+            )
+
+        out = run_q(image)
+        image = perturb(image, out)
+        float(out[0, 0, 0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = run_q(image)
+            image = perturb(image, out)
+        float(out[0, 0, 0])
+        q_dt = (time.perf_counter() - t0) / iters
+        result["int8_mps"] = round(megapixels / q_dt, 2)
+        result["int8_vs_baseline"] = round(megapixels / q_dt / ANCHOR_H100_PYTORCH_MPS, 3)
+        result["int8_forward_rel_rms"] = round(rel_rms, 4)
+    except Exception as exc:  # pragma: no cover - bench must never die on the extra path
+        result["int8_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
     devices = jax.devices()
     if len(devices) > 1:
         # BASELINE config 5 code path: tiles sharded over the mesh, d4 per tile

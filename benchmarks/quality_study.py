@@ -110,6 +110,15 @@ def main():
     def forward(tiles):
         return model.apply(variables, tiles)
 
+    # int8 PTQ twin of the same trained model, calibrated on training-like
+    # tiles (zoo/quantized_unet.py; calibration spatial size must match the
+    # inference tile size)
+    from pytorch_toolbelt_tpu.zoo.quantized_unet import quantize_unet_inference
+
+    cal_rng = np.random.RandomState(99)
+    cal = jnp.asarray(np.stack([make_scene(cal_rng, TILE)[0] for _ in range(16)]))
+    q_forward = quantize_unet_inference(model, variables, cal)
+
     run_plain = partial(tiled_apply, forward, tile_size=TILE, tile_step=STEP, batch_size=8)
     run_full = partial(
         tiled_apply_d4_tta, forward, tile_size=TILE, tile_step=STEP, batch_size=8, mode="full"
@@ -117,11 +126,16 @@ def main():
     run_dist = partial(
         tiled_apply_d4_tta, forward, tile_size=TILE, tile_step=STEP, batch_size=8, mode="distributed"
     )
+    run_dist_q = partial(
+        tiled_apply_d4_tta, q_forward, tile_size=TILE, tile_step=STEP, batch_size=8,
+        mode="distributed",
+    )
 
     rng = np.random.RandomState(1234)
     n_scenes = 8
-    ious = {"no_tta": [], "full_d4": [], "distributed_d4": []}
+    ious = {"no_tta": [], "full_d4": [], "distributed_d4": [], "int8_distributed_d4": []}
     deltas, agreements, p95s, dstds = [], [], [], []
+    q_deltas, q_agreements = [], []
     for s in range(n_scenes):
         img_np, gt = make_scene(rng, SCENE)
         img = jnp.asarray(img_np)
@@ -129,6 +143,7 @@ def main():
             "no_tta": np.asarray(run_plain(img)),
             "full_d4": np.asarray(run_full(img)),
             "distributed_d4": np.asarray(run_dist(img)),
+            "int8_distributed_d4": np.asarray(run_dist_q(img)),
         }
         probs = {k: 1.0 / (1.0 + np.exp(-v)) for k, v in logits.items()}
         gt_b = gt[..., 0] > 0.5
@@ -141,6 +156,10 @@ def main():
         agreements.append(
             ((probs["full_d4"] > 0.5) == (probs["distributed_d4"] > 0.5)).mean()
         )
+        q_deltas.append(np.abs(probs["int8_distributed_d4"] - probs["distributed_d4"]).mean())
+        q_agreements.append(
+            ((probs["int8_distributed_d4"] > 0.5) == (probs["distributed_d4"] > 0.5)).mean()
+        )
 
     print(f"\n=== quality study: {n_scenes} scenes of {SCENE}x{SCENE}, trained UNet-16 ===")
     for k, v in ious.items():
@@ -151,6 +170,9 @@ def main():
     print(f"  prob std (full)    : {np.mean(dstds):.4f}")
     print(f"  mean|dp| / std     : {np.mean(deltas) / np.mean(dstds):.4f}")
     print(f"  hard-pred agreement: {np.mean(agreements) * 100:.3f}%")
+    print(f"\nint8 vs bf16 distributed-d4 (probability space):")
+    print(f"  mean |dp|          : {np.mean(q_deltas):.5f}")
+    print(f"  hard-pred agreement: {np.mean(q_agreements) * 100:.3f}%")
 
 
 if __name__ == "__main__":

@@ -137,7 +137,9 @@ def quantize_unet_inference(
         variables: trained flax variables ({'params', 'batch_stats'}).
         calibration_images: [N, H, W, 3] float array of representative
             inputs; per-channel activation ranges are read from one folded
-            f32 forward over this batch.
+            f32 forward over this batch.  H and W must equal the spatial
+            size inference will run at (the quantized upsample matrices
+            are built from these static shapes).
         margin: multiplier on calibrated ranges (>1 guards against
             calibration undershoot at the cost of range utilisation).
 
