@@ -111,8 +111,7 @@ def main():
         return model.apply(variables, tiles)
 
     # int8 PTQ twin of the same trained model, calibrated on training-like
-    # tiles (zoo/quantized_unet.py; calibration spatial size must match the
-    # inference tile size)
+    # tiles (zoo/quantized_unet.py)
     from pytorch_toolbelt_tpu.zoo.quantized_unet import quantize_unet_inference
 
     cal_rng = np.random.RandomState(99)

@@ -137,9 +137,10 @@ def quantize_unet_inference(
         variables: trained flax variables ({'params', 'batch_stats'}).
         calibration_images: [N, H, W, 3] float array of representative
             inputs; per-channel activation ranges are read from one folded
-            f32 forward over this batch.  H and W must equal the spatial
-            size inference will run at (the quantized upsample matrices
-            are built from these static shapes).
+            f32 forward over this batch.  H and W need not match the
+            inference size (the quantized upsample matrices are built per
+            trace from the jit-static activation shapes), but calibration
+            statistics transfer best from similar content at any size.
         margin: multiplier on calibrated ranges (>1 guards against
             calibration undershoot at the cost of range utilisation).
 
@@ -226,11 +227,13 @@ def quantize_unet_inference(
         q_enc.append(row)
         sig_skips.append(sig)
     q_dec: List[List[_QConv]] = []
-    up_specs = []
+    # The int8 interpolation matrices introduce a SHAPE-INDEPENDENT scale
+    # multiplier ((2^7/127)^2 — see _q_upsample_matrices), so the weight
+    # quantization below is valid for any inference spatial size; the
+    # matrices themselves are built at trace time from the jit-static
+    # activation shapes, decoupling calibration size from inference size.
+    up_mult = (128.0 / _QMAX) ** 2
     for i in range(num_stages - 1, -1, -1):
-        h, w_sp = skips_cal[i].shape[1], skips_cal[i].shape[2]
-        mh, mw, up_mult = _q_upsample_matrices(h // 2, w_sp // 2, h, w_sp)
-        up_specs.append((mh, mw))
         sig = np.concatenate([sig * up_mult, sig_skips[i]])
         row = []
         for j, (w, b) in enumerate(dec[num_stages - 1 - i]):
@@ -259,9 +262,12 @@ def quantize_unet_inference(
                 x_q = _qconv_apply(x_q, qc)
             skips.append(x_q)
         for idx, i in enumerate(range(num_stages - 1, -1, -1)):
-            mh, mw = up_specs[idx]
+            skip = skips[i]
+            mh, mw, _ = _q_upsample_matrices(
+                x_q.shape[1], x_q.shape[2], skip.shape[1], skip.shape[2]
+            )
             x_q = _q_upsample(x_q, mh, mw)
-            x_q = jnp.concatenate([x_q, skips[i]], axis=-1)
+            x_q = jnp.concatenate([x_q, skip], axis=-1)
             for qc in q_dec[idx]:
                 x_q = _qconv_apply(x_q, qc)
         acc = jax.lax.conv_general_dilated(

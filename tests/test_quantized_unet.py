@@ -63,6 +63,21 @@ def test_q_upsample_matches_float_bilinear():
     assert _rel_rms(got, want) < 0.02
 
 
+def test_quantized_inference_size_decoupled_from_calibration():
+    """The quantized upsample matrices are built per trace from jit-static
+    shapes, so one calibrated network serves any inference size."""
+    model = UNetSegmentationModel(num_classes=2, encoder_channels=16, num_layers=3)
+    variables = model.init(jax.random.PRNGKey(4), jnp.zeros((1, 64, 64, 3)))
+    rng = np.random.default_rng(5)
+    cal = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    fwd = quantize_unet_inference(model, variables, cal)
+    for size in (32, 128):
+        x = jnp.asarray(rng.random((1, size, size, 3)), jnp.float32)
+        got = fwd(x)
+        assert got.shape == (1, size, size, 2)
+        assert _rel_rms(got, model.apply(variables, x)) < 0.06
+
+
 def test_quantized_output_name_and_rejects_unsupported():
     model = UNetSegmentationModel(
         num_classes=1, encoder_channels=16, num_layers=3, output_name="mask"
