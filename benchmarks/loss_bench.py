@@ -77,6 +77,16 @@ def main():
     results.append(
         bench_loss("lovasz_softmax_per_image", L.LovaszLoss(per_image=True), probas, target_int)
     )
+    # Split sort (lax.sort per 2^20 chunk + bitonic cross-merge) on the exact
+    # per_image=False path — a measured DEAD END (1660 vs 1519 ms flat), kept
+    # opt-in; this row tracks it so a regression in either direction shows.
+    lovasz_mod.SPLIT_SORT = True
+    try:
+        results.append(
+            bench_loss("lovasz_softmax_split_sort", L.LovaszLoss(), probas, target_int)
+        )
+    finally:
+        lovasz_mod.SPLIT_SORT = False
     lovasz_mod.COMPACT_SORT_KEYS = True
     try:
         results.append(

@@ -24,7 +24,7 @@ from typing import Optional, Sequence, Union
 import jax
 import jax.numpy as jnp
 
-from ..ops.sort import bitonic_sort_chunked, chunked_sort_supported
+from ..ops.sort import bitonic_sort_chunked, chunked_sort_supported, split_sort, split_sort_supported
 
 __all__ = ["BinaryLovaszLoss", "LovaszLoss", "binary_lovasz_hinge", "lovasz_softmax"]
 
@@ -40,6 +40,18 @@ _CHUNK = 1 << 17   # VMEM chunk for the (opt-in) Pallas chunked-bitonic sort
 # Pallas network matches — but does not beat — XLA's sort, and stays off by
 # default.  See benchmarks/RESULTS.md "Lovasz and the sorting roofline".
 USE_CHUNKED_SORT = False
+
+# Split sort for long rows (the exact per_image=False path): lax.sort per
+# VMEM-sized 2^20 chunk + bitonic cross-chunk merge (ops/sort.py split_sort).
+# MEASURED DEAD END on v5e at the BASELINE config-4 shape (fwd+bwd,
+# chained): 1660 ms vs 1519 ms for the flat lax.sort — the cross-chunk
+# merge stages cost more than the VMEM residency saves, the third
+# independent implementation to land on the same comparison-sort wall
+# (benchmarks/RESULTS.md "Round-3 Lovasz levers").  Kept opt-in: output is
+# exactly lax.sort's (loss bit-identical over 4 chained fwd+bwd steps at
+# production scale), so flipping this True only changes speed.
+SPLIT_SORT = False
+_SPLIT_CHUNK = 1 << 20
 
 # Opt-in: 16-bit sort keys for the FORWARD sort (VERDICT round-2 lever).
 # The fp32 error key is mapped to its monotonic-int32 representation and
@@ -67,6 +79,16 @@ def _sort2(keys: jnp.ndarray, payload: jnp.ndarray):
             ks, ps = bitonic_sort_chunked(keys[None], payload[None], chunk_size=_CHUNK)
             return ks[0], ps[0]
         return bitonic_sort_chunked(keys, payload, chunk_size=_CHUNK)
+    if (
+        SPLIT_SORT
+        and keys.ndim in (1, 2)
+        and split_sort_supported(keys.shape[-1], _SPLIT_CHUNK)
+        and jax.default_backend() == "tpu"
+    ):
+        if keys.ndim == 1:
+            ks, ps = split_sort(keys[None], payload[None], chunk_size=_SPLIT_CHUNK)
+            return ks[0], ps[0]
+        return split_sort(keys, payload, chunk_size=_SPLIT_CHUNK)
     return jax.lax.sort((keys, payload), dimension=-1, num_keys=1)
 
 

@@ -44,7 +44,7 @@ try:
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
-__all__ = ["bitonic_sort_chunked", "chunked_sort_supported"]
+__all__ = ["bitonic_sort_chunked", "chunked_sort_supported", "split_sort", "split_sort_supported"]
 
 
 def _log2(x: int) -> int:
@@ -255,12 +255,27 @@ def bitonic_sort_chunked(keys, payload, chunk_size: int = 1 << 17, block_chunks:
 
     # phase 2: global stages c+1..log2(N): cross-chunk passes in XLA + the
     # within-chunk merge tail in VMEM
-    kk = kk.reshape(R, S, C)
-    pp = pp.reshape(R, S, C)
+    return _global_merge(kk.reshape(R, S, C), pp.reshape(R, S, C), block_chunks, interpret)
+
+
+def _global_merge(kk, pp, block_chunks: int, interpret: bool, start_bit: int = 1):
+    """Global stages c+start_bit..log2(N) of the bitonic network over
+    [R, S, C] chunked rows: cross-chunk compare-exchanges in XLA + the
+    within-chunk merge tail (distances C/2..1) as one Pallas VMEM sweep per
+    stage.
+
+    Input invariant for ``start_bit = m``: each run of 2^(m-1) consecutive
+    chunks is sorted as one sequence, ascending when bit m-1 of the chunk
+    index is 0, descending otherwise — i.e. the state the network is in
+    after completing stage c+m-1.  ``start_bit=1`` is the classic
+    alternating-chunk input phase 1 leaves behind.  Returns the fully
+    sorted [R, N] pair.
+    """
+    R, S, C = kk.shape
     G = block_chunks
     while (R * S) % G:
         G //= 2
-    for bit in range(1, _log2(S) + 1):  # global stage k = c + bit
+    for bit in range(start_bit, _log2(S) + 1):  # global stage k = c + bit
         for Dj in range(bit - 1, -1, -1):
             kk, pp = _cross_pass(kk, pp, 1 << Dj, bit)
         kk2, pp2 = _pallas_sweep(
@@ -271,4 +286,71 @@ def bitonic_sort_chunked(keys, payload, chunk_size: int = 1 << 17, block_chunks:
             interpret,
         )
         kk, pp = kk2.reshape(R, S, C), pp2.reshape(R, S, C)
-    return kk.reshape(R, N), pp.reshape(R, N)
+    return kk.reshape(R, S * C), pp.reshape(R, S * C)
+
+
+def split_sort_supported(n: int, chunk_size: int = 1 << 20) -> bool:
+    """Same geometry rules as the chunked bitonic sort (power-of-two rows,
+    >=2 lane-aligned chunks, Pallas importable)."""
+    return chunked_sort_supported(n, chunk_size)
+
+
+@partial(jax.jit, static_argnames=("chunk_size", "merge_chunk", "block_chunks", "interpret"))
+def split_sort(
+    keys,
+    payload,
+    chunk_size: int = 1 << 20,
+    merge_chunk: int = 1 << 17,
+    block_chunks: int = 1,
+    interpret: bool = False,
+):
+    """Hybrid long-row sort: ``lax.sort`` per VMEM-sized chunk, bitonic
+    cross-chunk merge.  [R, N] -> ([R, N], [R, N]), ascending.
+
+    Rationale (measured on v5e, benchmarks/RESULTS.md "Round-3 Lovasz
+    levers"): a [*, 2^23] ``lax.sort`` row streams HBM on every one of its
+    276 bitonic passes (~750 ms at the Lovasz bench shape), while 2^20 rows
+    sort ~1.9x faster per element.  This kernel buys that speed for long
+    rows WITHOUT changing semantics: phase 1 sorts each of the
+    S = N/chunk_size chunks independently with ``lax.sort`` (direction
+    alternated by reversing odd chunks — one elementwise pass), phase 2
+    runs only the remaining log2(S) global bitonic merge stages.
+
+    The two granularities are deliberately decoupled: ``chunk_size`` is the
+    phase-1 ``lax.sort`` row length (bigger = fewer merge stages), while
+    ``merge_chunk`` bounds the Pallas merge-tail working set (a 2^20-chunk
+    sweep spills ~120 MB of registers and exceeds v5e's 128 MB VMEM; 2^17
+    is the proven sweet spot from ``bitonic_sort_chunked``).  Phase 2
+    therefore views the row at ``merge_chunk`` granularity and enters
+    ``_global_merge`` at ``start_bit = log2(chunk_size/merge_chunk) + 1``
+    — the stage the phase-1 sort has already completed through.
+
+    Output is exactly ``lax.sort``'s for distinct keys; like ``lax.sort``
+    (and any bitonic network) the payload order under duplicate keys is
+    unspecified.  Falls back to ``lax.sort`` when the geometry does not
+    qualify (``split_sort_supported``) or dtypes are not 4-byte.
+    """
+    R, N = keys.shape
+    C = chunk_size
+    four_byte = keys.dtype.itemsize == 4 and payload.dtype.itemsize == 4
+    if not (four_byte and split_sort_supported(N, C)):
+        return jax.lax.sort((keys, payload), dimension=-1, num_keys=1)
+    S = N // C
+
+    kk, pp = jax.lax.sort(
+        (keys.reshape(R * S, C), payload.reshape(R * S, C)), dimension=-1, num_keys=1
+    )
+    kk = kk.reshape(R, S // 2, 2, C)
+    pp = pp.reshape(R, S // 2, 2, C)
+    # odd chunks descend, as the first merge stage of the network expects
+    kk = jnp.concatenate([kk[:, :, :1], jnp.flip(kk[:, :, 1:], axis=-1)], axis=2)
+    pp = jnp.concatenate([pp[:, :, :1], jnp.flip(pp[:, :, 1:], axis=-1)], axis=2)
+    # reshaping a C-run into Cm-chunks preserves the invariant _global_merge
+    # needs at start_bit: an ascending (descending) C-run is exactly C/Cm
+    # consecutive ascending (descending) Cm-chunks forming one sorted run
+    Cm = min(merge_chunk, C)
+    Sm = N // Cm
+    start_bit = _log2(C // Cm) + 1
+    return _global_merge(
+        kk.reshape(R, Sm, Cm), pp.reshape(R, Sm, Cm), block_chunks, interpret, start_bit
+    )

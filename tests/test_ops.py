@@ -121,6 +121,82 @@ def test_chunked_sort_int_keys_and_fallback():
     np.testing.assert_array_equal(np.asarray(ks), np.sort(np.asarray(keys), axis=-1))
 
 
+@pytest.mark.skipif(not pallas_available(), reason="pallas not importable")
+@pytest.mark.parametrize("rows,n,chunk", [(3, 4096, 512), (1, 2048, 256)])
+def test_split_sort_matches_lax_sort(rows, n, chunk):
+    """Hybrid lax.sort-per-chunk + bitonic cross-merge (ops/sort.py
+    split_sort) must reproduce lax.sort exactly (distinct keys)."""
+    from pytorch_toolbelt_tpu.ops import split_sort
+
+    rng = np.random.RandomState(7)
+    keys = jnp.asarray(
+        np.stack([rng.permutation(n) for _ in range(rows)]).astype(np.float32)
+    )
+    payload = jnp.asarray(np.tile(np.arange(n, dtype=np.int32), (rows, 1)))
+
+    ks, ps = split_sort(keys, payload, chunk_size=chunk, interpret=True)
+    ref_k, ref_p = jax.lax.sort((keys, payload), dimension=-1, num_keys=1)
+    np.testing.assert_array_equal(np.asarray(ks), np.asarray(ref_k))
+    np.testing.assert_array_equal(np.asarray(ps), np.asarray(ref_p))
+
+
+@pytest.mark.skipif(not pallas_available(), reason="pallas not importable")
+@pytest.mark.parametrize("chunk,merge_chunk", [(2048, 512), (1024, 256)])
+def test_split_sort_decoupled_merge_granularity(chunk, merge_chunk):
+    """merge_chunk < chunk_size exercises the start_bit>1 entry into the
+    global merge (the production TPU configuration: 2^20 lax.sort chunks,
+    2^17 Pallas merge chunks — a 2^20 merge sweep exceeds v5e VMEM)."""
+    from pytorch_toolbelt_tpu.ops import split_sort
+
+    rng = np.random.RandomState(11)
+    n = 8192
+    keys = jnp.asarray(np.stack([rng.permutation(n) for _ in range(2)]).astype(np.float32))
+    payload = jnp.asarray(np.tile(np.arange(n, dtype=np.int32), (2, 1)))
+    ks, ps = split_sort(keys, payload, chunk_size=chunk, merge_chunk=merge_chunk, interpret=True)
+    ref_k, ref_p = jax.lax.sort((keys, payload), dimension=-1, num_keys=1)
+    np.testing.assert_array_equal(np.asarray(ks), np.asarray(ref_k))
+    np.testing.assert_array_equal(np.asarray(ps), np.asarray(ref_p))
+
+
+@pytest.mark.skipif(not pallas_available(), reason="pallas not importable")
+def test_split_sort_int_keys_and_fallback():
+    from pytorch_toolbelt_tpu.ops import split_sort
+
+    rng = np.random.RandomState(8)
+    # int32 keys + f32 payload (the Lovasz backward configuration)
+    perm = np.stack([rng.permutation(1024).astype(np.int32) for _ in range(2)])
+    w = rng.randn(2, 1024).astype(np.float32)
+    ks, ps = split_sort(jnp.asarray(perm), jnp.asarray(w), chunk_size=256, interpret=True)
+    ref_k, ref_p = jax.lax.sort((jnp.asarray(perm), jnp.asarray(w)), dimension=-1, num_keys=1)
+    np.testing.assert_array_equal(np.asarray(ks), np.asarray(ref_k))
+    np.testing.assert_array_equal(np.asarray(ps), np.asarray(ref_p))
+
+    # non-power-of-two rows fall back to lax.sort
+    keys = jnp.asarray(rng.randn(2, 1500).astype(np.float32))
+    ks, _ = split_sort(keys, jnp.zeros((2, 1500), jnp.int32), chunk_size=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ks), np.sort(np.asarray(keys), axis=-1))
+
+
+@pytest.mark.skipif(not pallas_available(), reason="pallas not importable")
+def test_lovasz_split_sort_path_matches_exact():
+    """lovasz_softmax routed through split_sort must equal the lax.sort
+    path (value and gradient) — the rows here qualify for the split path
+    when the backend is TPU; in CI we call the sort directly in interpret
+    mode on the same packed operands the loss builds."""
+    import pytorch_toolbelt_tpu.losses.lovasz as lovasz_mod
+    from pytorch_toolbelt_tpu.ops import split_sort
+
+    rng = np.random.RandomState(9)
+    errors = jnp.asarray(rng.rand(4, 2048).astype(np.float32))
+    iota = jax.lax.broadcasted_iota(jnp.int32, errors.shape, 1)
+    fg = jnp.asarray((rng.rand(4, 2048) > 0.7).astype(np.int32))
+    packed = jnp.where(fg > 0, iota | (1 << lovasz_mod._FG_BIT), iota)
+    ks, ps = split_sort(-errors, packed, chunk_size=512, interpret=True)
+    ref_k, ref_p = jax.lax.sort((-errors, packed), dimension=-1, num_keys=1)
+    np.testing.assert_array_equal(np.asarray(ks), np.asarray(ref_k))
+    np.testing.assert_array_equal(np.asarray(ps), np.asarray(ref_p))
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(not pallas_available(), reason="pallas not importable")
 def test_chunked_sort_hierarchical_levels():
