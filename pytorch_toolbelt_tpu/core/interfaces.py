@@ -16,7 +16,7 @@ the reference's runtime ``output_size`` hints become static attributes.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import List, Protocol, Sequence, Tuple, runtime_checkable
 
 import jax.numpy as jnp
 import numpy as np
@@ -24,6 +24,9 @@ import numpy as np
 __all__ = [
     "FeatureMapsSpec",
     "FeatureMapsSpecification",  # alias matching reference spelling
+    "HasOutputFeaturesSpecification",
+    "AbstractDecoder",
+    "AbstractHead",
 ]
 
 
@@ -67,3 +70,30 @@ class FeatureMapsSpec:
 # The reference spells it out in full; keep an alias so users migrating from
 # pytorch-toolbelt find the familiar name.
 FeatureMapsSpecification = FeatureMapsSpec
+
+
+@runtime_checkable
+class HasOutputFeaturesSpecification(Protocol):
+    """Anything that can describe its output feature pyramid (reference
+    interfaces.py:58-66).  flax modules satisfy this structurally — no
+    inheritance needed; ``isinstance`` works via ``runtime_checkable``."""
+
+    def get_output_spec(self) -> FeatureMapsSpec: ...
+
+
+@runtime_checkable
+class AbstractDecoder(HasOutputFeaturesSpecification, Protocol):
+    """Decoder contract: list of feature maps -> list of feature maps
+    (reference interfaces.py:84-103).  The reference expresses this as an
+    abstract nn.Module base; with flax the contract is structural — every
+    decoder in ``zoo.decoders`` satisfies it."""
+
+    def __call__(self, feature_maps: Sequence[jnp.ndarray]) -> List[jnp.ndarray]: ...
+
+
+@runtime_checkable
+class AbstractHead(HasOutputFeaturesSpecification, Protocol):
+    """Head contract: list of feature maps -> task output (reference
+    interfaces.py:106-126)."""
+
+    def __call__(self, feature_maps: Sequence[jnp.ndarray]): ...

@@ -28,8 +28,10 @@ from .activations import (
     hard_swish,
     instantiate_activation_block,
     mish,
+    mish_naive,
     sanitize_activation_name,
     swish,
+    swish_naive,
 )
 from .coord_conv import AddCoords, CoordConv, append_coords
 from .drop_path import DropPath, drop_path
@@ -37,7 +39,12 @@ from .dropblock import DropBlock2D, DropBlock3D, DropBlockScheduled
 from .dsconv import DepthwiseSeparableConv2d, DepthwiseSeparableConv2dBlock
 from .fpn import FPNBottleneckBlock, FPNContextBlock, FPNFuse, FPNFuseSum, HFF
 from .functional import resize_2d, resize_bilinear, resize_nearest
-from .initialization import first_class_background_init_bias, icnr_init, zeros_kernel_init
+from .initialization import (
+    bilinear_upsample_initializer,
+    first_class_background_init_bias,
+    icnr_init,
+    zeros_kernel_init,
+)
 from .normalization import (
     NORM_BATCH,
     NORM_GROUP,

@@ -49,8 +49,10 @@ __all__ = [
     "hard_swish",
     "instantiate_activation_block",
     "mish",
+    "mish_naive",
     "sanitize_activation_name",
     "swish",
+    "swish_naive",
 ]
 
 ACT_CELU = "celu"
@@ -81,6 +83,13 @@ def swish(x):
 
 def mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
+
+
+# The torch reference ships "naive" twins that differ only in autograd memory
+# behavior (activations.py mish_naive/swish_naive); under jax AD there is no
+# such distinction, so the naive spellings are the same function.
+mish_naive = mish
+swish_naive = swish
 
 
 def hard_sigmoid(x):

@@ -5,7 +5,12 @@ import math
 import jax
 import jax.numpy as jnp
 
-__all__ = ["first_class_background_init_bias", "zeros_kernel_init", "icnr_init"]
+__all__ = [
+    "first_class_background_init_bias",
+    "zeros_kernel_init",
+    "icnr_init",
+    "bilinear_upsample_initializer",
+]
 
 
 def _logit(p: float) -> float:
@@ -26,6 +31,21 @@ def first_class_background_init_bias(background_prob: float = 0.95):
         return bias.at[0].set(_logit(background_prob))
 
     return init
+
+
+def bilinear_upsample_initializer(key, shape, dtype=jnp.float32):
+    """Radial-tent kernel for transposed-conv upsampling, normalized to unit
+    mass per (in, out) slice — the same arithmetic as reference
+    upsample.py:47-57 (distance from kernel center, inverted, normalized),
+    in HWIO layout for flax ConvTranspose kernels."""
+    h, w = shape[0], shape[1]
+    ci, cj = h // 2, w // 2
+    ii = jnp.arange(h, dtype=dtype)[:, None]
+    jj = jnp.arange(w, dtype=dtype)[None, :]
+    dist = jnp.hypot(ci - ii, cj - jj)
+    y = 1.0 - dist / jnp.sum(dist)
+    y = y / jnp.sum(y)
+    return jnp.broadcast_to(y[:, :, None, None], shape).astype(dtype)
 
 
 def icnr_init(upscale_factor: int = 2, base_init=jax.nn.initializers.he_normal()):

@@ -8,8 +8,10 @@ from typing import List, Optional, Union
 import numpy as np
 
 __all__ = [
+    "has_ext",
     "has_image_ext",
     "find_in_dir",
+    "find_in_dir_glob",
     "find_in_dir_with_ext",
     "find_images_in_dir",
     "find_images_in_dir_recursive",
@@ -25,8 +27,26 @@ __all__ = [
 IMAGE_EXTENSIONS = {".bmp", ".png", ".jpeg", ".jpg", ".tif", ".tiff", ".webp"}
 
 
+def has_ext(fname: str, extensions: Union[str, List[str], tuple]) -> bool:
+    """True when fname's extension is one of `extensions` (case-insensitive).
+
+    Parity target: pytorch_toolbelt/utils/fs.py:33-41.
+    """
+    if not isinstance(extensions, (str, list, tuple)):
+        raise ValueError("Argument extensions must be either string or list of strings")
+    if isinstance(extensions, str):
+        extensions = [extensions]
+    wanted = {e.lower() for e in extensions}
+    return os.path.splitext(fname)[1].lower() in wanted
+
+
 def has_image_ext(fname: str) -> bool:
     return os.path.splitext(fname)[1].lower() in IMAGE_EXTENSIONS
+
+
+def find_in_dir_glob(pattern: str, recursive: bool = False) -> List[str]:
+    """Sorted glob expansion (parity target: pytorch_toolbelt/utils/fs.py:84-86)."""
+    return sorted(glob.iglob(pattern, recursive=recursive))
 
 
 def find_in_dir(dirname: str) -> List[str]:

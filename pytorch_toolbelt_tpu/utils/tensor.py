@@ -25,6 +25,8 @@ __all__ = [
     "logit",
     "sigmoid_with_threshold",
     "move_to_device",
+    "container_to_tensor",
+    "int_to_string_human_friendly",
 ]
 
 
@@ -171,6 +173,37 @@ def sigmoid_with_threshold(x: jnp.ndarray, threshold: float = 0.5, dtype=jnp.flo
 def move_to_device(x, device, non_blocking: bool = False):
     """Recursively device_put nested containers (reference torch_utils.py:344-361)."""
     return jax.tree_util.tree_map(lambda leaf: jax.device_put(leaf, device), x)
+
+
+def container_to_tensor(value):
+    """Recursively convert numeric numpy arrays inside lists/tuples/mappings
+    to jax arrays; non-numeric leaves (strings, objects) pass through
+    (reference torch_utils.py:188-205)."""
+    if isinstance(value, jnp.ndarray):
+        return value
+    if isinstance(value, np.ndarray) and value.dtype.kind not in {"O", "M", "U", "S"}:
+        return jnp.asarray(value)
+    if isinstance(value, list):
+        return [container_to_tensor(item) for item in value]
+    if isinstance(value, tuple):
+        return tuple(container_to_tensor(item) for item in value)
+    if isinstance(value, dict):
+        return {key: container_to_tensor(item) for key, item in value.items()}
+    return value
+
+
+def int_to_string_human_friendly(value: int) -> str:
+    """1234 -> '1.23K', 2_500_000 -> '2.50M', ... (reference
+    torch_utils.py:130-141, same thresholds and formats)."""
+    if value < 1_000:
+        return str(value)
+    if value < 1_000_000:
+        return f"{value / 1e3:.2f}K"
+    if value < 10_000_000:
+        return f"{value / 1e6:.2f}M"
+    if value < 1_000_000_000:
+        return f"{value / 1e6:.1f}M"
+    return f"{value / 1e9:.2f}B"
 
 
 def softmax_over(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:

@@ -12,6 +12,7 @@ import numpy as np
 
 __all__ = [
     "plot_confusion_matrix",
+    "plot_compressed_confusion_matrix",
     "plot_heatmap",
     "render_figure_to_tensor",
     "hstack_autopad",
@@ -119,6 +120,48 @@ def plot_confusion_matrix(
         noshow=noshow,
         backend=backend,
     )
+    return f
+
+
+def plot_compressed_confusion_matrix(
+    cm: np.ndarray,
+    figsize: Tuple[int, int] = (16, 16),
+    normalize: bool = False,
+    title: str = "Confusion matrix",
+    cmap=None,
+    fname: Optional[str] = None,
+    noshow: bool = False,
+    backend: str = "Agg",
+):
+    """Image-only confusion-matrix figure: no per-cell annotations or class
+    tick labels, so it stays readable (and fast to render) for hundreds of
+    classes.  Parity target: pytorch_toolbelt/utils/visualization.py:94-131.
+    """
+    import matplotlib
+
+    matplotlib.use(backend, force=False)
+    from matplotlib import pyplot as plt
+
+    cm = np.asarray(cm)
+    if normalize:
+        with np.errstate(all="ignore"):
+            cm = cm.astype(np.float32) / cm.sum(axis=1, keepdims=True)
+        x_label = "Predicted label"
+    else:
+        accuracy = np.trace(cm) / (float(np.sum(cm)) + 1e-8)
+        x_label = f"Predicted label\nAccuracy={accuracy:0.4f}; Misclass={1 - accuracy:0.4f}"
+
+    f = plt.figure(figsize=figsize)
+    plt.imshow(cm, interpolation="nearest", cmap=cmap)
+    plt.colorbar(fraction=0.046, pad=0.04)
+    plt.title(title)
+    plt.xlabel(x_label)
+    plt.ylabel("True label")
+    plt.tight_layout()
+    if fname is not None:
+        plt.savefig(fname, dpi=200)
+    if not noshow:
+        plt.show()
     return f
 
 

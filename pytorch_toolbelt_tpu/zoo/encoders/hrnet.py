@@ -16,7 +16,13 @@ from ...nn.functional import resize_nearest
 from .common import EncoderBase
 from .resnet import BasicBlock, Bottleneck
 
-__all__ = ["HRNetEncoder", "hrnet18_encoder", "hrnet34_encoder", "hrnet48_encoder"]
+__all__ = [
+    "HRNetEncoder",
+    "hrnet18_encoder",
+    "hrnet34_encoder",
+    "hrnet48_encoder",
+    "hrnet_w18_small_v2_encoder",
+]
 
 
 class _FuseLayer(nn.Module):
@@ -70,6 +76,8 @@ class _HRModule(nn.Module):
 class HRNetEncoder(EncoderBase):
     width: int = 18
     stage_modules: Tuple[int, ...] = (1, 4, 3)  # modules in stages 2, 3, 4
+    blocks_per_module: int = 4  # BasicBlocks per branch per module (2 in "small" variants)
+    stage1_blocks: int = 4  # Bottlenecks in stage 1 (2 in "small" variants)
     layers: Optional[Tuple[int, ...]] = None
 
     def _branch_channels(self, num_branches: int) -> Tuple[int, ...]:
@@ -95,8 +103,8 @@ class HRNetEncoder(EncoderBase):
         x = norm()(x)
         x = jax.nn.relu(x)
 
-        # stage 1: 4 bottleneck blocks at 256 channels
-        for _ in range(4):
+        # stage 1: bottleneck blocks at 256 channels
+        for _ in range(self.stage1_blocks):
             x = Bottleneck(out_channels=256)(x, training=training)
 
         # transitions + multi-resolution stages
@@ -119,7 +127,9 @@ class HRNetEncoder(EncoderBase):
                     new_branches.append(jax.nn.relu(src))
             branches = new_branches
             for _ in range(num_modules):
-                branches = _HRModule(channels)(branches, training=training)
+                branches = _HRModule(channels, num_blocks=self.blocks_per_module)(
+                    branches, training=training
+                )
 
         if self.layers is not None:
             branches = [branches[i] for i in self.layers]
@@ -136,3 +146,11 @@ def hrnet34_encoder(**kwargs):
 
 def hrnet48_encoder(**kwargs):
     return HRNetEncoder(width=48, **kwargs)
+
+
+def hrnet_w18_small_v2_encoder(**kwargs):
+    """HRNet-W18 small v2 (capability target: encoders/timm/hrnet.py:44-52):
+    2 stage-1 bottlenecks, (1, 3, 2) stage modules, 2 blocks per branch."""
+    return HRNetEncoder(
+        width=18, stage_modules=(1, 3, 2), blocks_per_module=2, stage1_blocks=2, **kwargs
+    )

@@ -15,7 +15,13 @@ import jax.numpy as jnp
 from ...core.interfaces import FeatureMapsSpec
 from .common import EncoderBase
 
-__all__ = ["SKResNetEncoder", "skresnet18_encoder", "skresnet34_encoder", "skresnet50_encoder"]
+__all__ = [
+    "SKResNetEncoder",
+    "skresnet18_encoder",
+    "skresnet34_encoder",
+    "skresnet50_encoder",
+    "skresnext50_encoder",
+]
 
 
 class SelectiveKernelConv(nn.Module):
@@ -23,6 +29,7 @@ class SelectiveKernelConv(nn.Module):
     stride: int = 1
     num_paths: int = 2
     reduction: int = 16
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -32,6 +39,7 @@ class SelectiveKernelConv(nn.Module):
             y = nn.Conv(
                 self.out_channels, (3, 3), strides=(self.stride,) * 2,
                 kernel_dilation=(k + 1, k + 1), padding="SAME", use_bias=False,
+                feature_group_count=self.groups,
             )(x)
             paths.append(jax.nn.relu(norm()(y)))
         stacked = jnp.stack(paths, axis=1)  # [B, P, H, W, C]
@@ -68,14 +76,18 @@ class SKBottleneck(nn.Module):
     out_channels: int
     stride: int = 1
     expansion: int = 4
+    groups: int = 1
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         norm = lambda: nn.BatchNorm(use_running_average=not training)
-        width = self.out_channels // self.expansion
+        planes = self.out_channels // self.expansion
+        # ResNeXt-style width: int(planes * base_width/64) * groups
+        width = int(planes * (self.base_width / 64.0)) * self.groups
         y = nn.Conv(width, (1, 1), use_bias=False)(x)
         y = jax.nn.relu(norm()(y))
-        y = SelectiveKernelConv(width, stride=self.stride)(y, training=training)
+        y = SelectiveKernelConv(width, stride=self.stride, groups=self.groups)(y, training=training)
         y = nn.Conv(self.out_channels, (1, 1), use_bias=False)(y)
         y = norm()(y)
         residual = x
@@ -88,6 +100,8 @@ class SKBottleneck(nn.Module):
 class SKResNetEncoder(EncoderBase):
     stage_blocks: Tuple[int, ...] = (2, 2, 2, 2)
     bottleneck: bool = False
+    groups: int = 1
+    base_width: int = 64
     layers: Optional[Tuple[int, ...]] = None
 
     def get_output_spec(self) -> FeatureMapsSpec:
@@ -113,7 +127,13 @@ class SKResNetEncoder(EncoderBase):
         for stage, num_blocks in enumerate(self.stage_blocks):
             channels = 64 * (2**stage) * e
             for i in range(num_blocks):
-                x = block_cls(channels, stride=(2 if stage > 0 and i == 0 else 1))(x, training=training)
+                stride = 2 if stage > 0 and i == 0 else 1
+                if self.bottleneck:
+                    x = block_cls(
+                        channels, stride=stride, groups=self.groups, base_width=self.base_width
+                    )(x, training=training)
+                else:
+                    x = block_cls(channels, stride=stride)(x, training=training)
             outputs.append(x)
 
         if self.layers is not None:
@@ -131,3 +151,11 @@ def skresnet34_encoder(**kwargs):
 
 def skresnet50_encoder(**kwargs):
     return SKResNetEncoder(stage_blocks=(3, 4, 6, 3), bottleneck=True, **kwargs)
+
+
+def skresnext50_encoder(**kwargs):
+    """SK-ResNeXt50 32x4d (capability target: encoders/timm/resnet.py
+    SKResNeXt50Encoder): grouped SK bottlenecks, cardinality 32, width 4."""
+    return SKResNetEncoder(
+        stage_blocks=(3, 4, 6, 3), bottleneck=True, groups=32, base_width=4, **kwargs
+    )
