@@ -24,8 +24,10 @@ well-tuned H100 AMP run of the same full-d4 pipeline (see
 benchmarks/RESULTS.md for the measured CPU number and the derivation).
 
 With >1 visible device the same config also runs tile-sharded over the mesh
-(distributed.tiled_apply_sharded — BASELINE config 5's code path) and the
-JSON line carries the multi-chip number in "multichip_mps".
+(distributed.tiled_apply_sharded with d4_tta='distributed' — BASELINE
+config 5's code path, running the SAME parity-class d4 algorithm as the
+single-chip headline) and the JSON line carries the multi-chip number in
+"multichip_mps".
 """
 
 import json
@@ -40,7 +42,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from pytorch_toolbelt_tpu.inference import tiled_apply_d4_tta
-from pytorch_toolbelt_tpu.inference.tta import d4_image2mask
 from pytorch_toolbelt_tpu.zoo import UNetSegmentationModel
 
 ANCHOR_H100_PYTORCH_MPS = 8.0  # see module docstring / benchmarks/RESULTS.md
@@ -182,21 +183,23 @@ def main():
 
     devices = jax.devices()
     if len(devices) > 1:
-        # BASELINE config 5 code path: tiles sharded over the mesh, d4 per tile
+        # BASELINE config 5 code path: the SAME distributed-d4 algorithm the
+        # headline number runs, composed with the strip-sharded canvas — each
+        # device runs the parity-class view pairs of the tiles intersecting
+        # its strip (distributed/tiled.py d4_tta='distributed'; bit-matches
+        # the single-chip mode='distributed' output, tests/test_distributed.py).
         from jax.sharding import Mesh
 
         from pytorch_toolbelt_tpu.distributed import tiled_apply_sharded
 
         mesh = Mesh(np.asarray(devices), ("data",))
 
-        def forward_d4(tiles):
-            return d4_image2mask(forward, tiles)
-
         def run_sharded(img):
             return tiled_apply_sharded(
-                forward_d4, img, mesh,
+                forward, img, mesh,
                 tile_size=TILE_SIZE, tile_step=TILE_STEP,
-                weight="pyramid", batch_size=8,
+                weight="pyramid", batch_size=BATCH,
+                d4_tta="distributed",
             )
 
         out = run_sharded(image)

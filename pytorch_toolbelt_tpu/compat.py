@@ -134,7 +134,7 @@ _ALIASES = {
     "HRNetV2Encoder34": (_Z, "hrnet34_encoder"),
     "HRNetV2Encoder48": (_Z, "hrnet48_encoder"),
     "HRNetW18Encoder": (_Z, "hrnet18_encoder"),
-    "HRNetW32Encoder": (_Z, "hrnet34_encoder"),  # W32 width=32; closest parameterization
+    "HRNetW32Encoder": (_Z, "hrnet32_encoder"),
     "HRNetW48Encoder": (_Z, "hrnet48_encoder"),
     "TimmHRNetW18SmallV2Encoder": (_Z, "hrnet_w18_small_v2_encoder"),
     "WiderResnetEncoder": (_Z, "WiderResNetEncoder"),

@@ -22,6 +22,21 @@ boundary-tile recompute and is fine for small canvases, but its per-device
 memory is O(H*W*K) (e.g. 7.6 GB for a 10000^2 19-class canvas) which does
 not fit beside a real model on a 16 GB v5e chip — hence the strip default.
 
+d4 test-time augmentation composes with both canvases via ``d4_tta``:
+
+* ``d4_tta='full'`` — every tile runs all 8 d4 views (the reference's
+  d4_image2mask-in-a-tile-loop, pytorch_toolbelt/inference/tta.py:385-467,
+  distributed over the mesh).
+* ``d4_tta='distributed'`` — the round-3 parity-class algorithm
+  (``inference/tiles.tiled_apply_d4_tta``) composed with the sharded
+  canvas: the d4 view-pair assignment is a pure function of GLOBAL tile
+  grid parity, so each device simply runs, for each of the 4 parity
+  classes, the class's view pair on the tiles of that class intersecting
+  its strip.  Every interior pixel still averages all 8 d4 views at 1/4
+  the model compute; the per-device program is the same grouped scan the
+  single-chip path runs, and the output bit-matches the single-chip
+  ``mode='distributed'`` result (tests/test_distributed.py).
+
 Both are implemented with shard_map so the per-device program is the
 single-chip tiled_apply loop (reference semantics:
 pytorch_toolbelt/inference/tiles.py:290-350's merge, distributed).
@@ -54,6 +69,44 @@ def _mark_varying(x, axis_name):
     return lax.pvary(x, (axis_name,))  # pragma: no cover
 
 
+def _resolve_d4(model_fn, d4_tta, tile_size, tile_step):
+    """Map the ``d4_tta`` option to (model_fns tuple, partition name).
+
+    The callables come from the same lru-cached factories the single-chip
+    path uses, so the compiled runners are shared across repeated calls.
+    """
+    if d4_tta is None:
+        return (model_fn,), "none"
+    from ..inference.tiles import _full_d4_fn, _sparse_d4_fns
+
+    if d4_tta == "full":
+        return (_full_d4_fn(model_fn),), "none"
+    if d4_tta != "distributed":
+        raise ValueError(f"Unknown d4_tta mode {d4_tta!r}; use None, 'full' or 'distributed'")
+    ts = (tile_size, tile_size) if isinstance(tile_size, int) else tuple(tile_size)
+    st = (tile_step, tile_step) if isinstance(tile_step, int) else tuple(tile_step)
+    if ts[0] != 2 * st[0] or ts[1] != 2 * st[1]:
+        raise ValueError(
+            "d4_tta='distributed' needs tile_step == tile_size/2 (4-fold overlap) "
+            f"so the parity classes tile the d4 group; got size={ts} step={st}"
+        )
+    return _sparse_d4_fns(model_fn), "parity2x2"
+
+
+def _group_masks(coords_yx: np.ndarray, tile_step, partition: str):
+    """Boolean membership masks, one per tile group, from GLOBAL tile coords.
+
+    'parity2x2' keys on ((row // step_h) % 2, (col // step_w) % 2) — the
+    same assignment as the single-chip ``_get_tiled_plan`` partition, so a
+    tile runs the same d4 view pair no matter which device owns it.
+    """
+    if partition == "none":
+        return [np.ones(len(coords_yx), dtype=bool)]
+    step_h, step_w = tile_step
+    parity = (coords_yx[:, 0] // step_h) % 2 * 2 + (coords_yx[:, 1] // step_w) % 2
+    return [parity == g for g in range(4)]
+
+
 def tiled_apply_sharded(
     model_fn: Callable[[jnp.ndarray], jnp.ndarray],
     image: jnp.ndarray,
@@ -64,24 +117,31 @@ def tiled_apply_sharded(
     batch_size: int = 4,
     axis_name: str = "data",
     canvas: str = "strips",
+    d4_tta: Optional[str] = None,
 ) -> jnp.ndarray:
     """Distribute tiles of a huge image over the mesh's ``axis_name`` axis.
 
     Args:
         model_fn: [B, th, tw, C] -> [B, th, tw, K], shape-preserving spatially.
+            Must be a STABLE callable (the compiled per-device program is
+            cached on its identity, like jax.jit).
         image: [H, W, C] (host or device).
         mesh: jax.sharding.Mesh whose ``axis_name`` axis carries the tiles.
         canvas: 'strips' (default) — canvas rows sharded over the mesh, no
             collectives, O(H*W*K/n) per-device memory; 'replicated' — every
             device accumulates a full canvas, merged with one psum.
+        d4_tta: None (plain), 'full' (all 8 d4 views per tile), or
+            'distributed' (parity-class view pairs — requires
+            step == size/2; see module docstring).
 
     Returns:
         [H, W, K] merged prediction ('strips': row-sharded over the mesh;
         'replicated': replicated).
     """
+    model_fns, partition = _resolve_d4(model_fn, d4_tta, tile_size, tile_step)
     if canvas == "replicated":
         return _tiled_apply_replicated(
-            model_fn, image, mesh, tile_size, tile_step, weight, batch_size, axis_name
+            model_fns, partition, image, mesh, tile_size, tile_step, weight, batch_size, axis_name
         )
     if canvas != "strips":
         raise ValueError(f"Unknown canvas mode {canvas!r}; use 'strips' or 'replicated'")
@@ -97,6 +157,8 @@ def tiled_apply_sharded(
 
     coords = slicer.crops  # (x, y, w, h)
     ys, xs = coords[:, 1].astype(np.int64), coords[:, 0].astype(np.int64)
+    coords_yx = np.stack([ys, xs], axis=1)
+    masks = _group_masks(coords_yx, slicer.tile_step, partition)
 
     # static normalization canvas, split into per-device strips
     weight_np = slicer.weight.astype(np.float32)
@@ -106,24 +168,33 @@ def tiled_apply_sharded(
     norm = np.clip(norm, np.finfo(np.float64).eps, None).astype(np.float32)
     inv_norm_strips = (1.0 / norm).reshape(n, strip_h, tgt_w, 1)
 
-    # per-device tile lists: every tile whose rows intersect the device strip.
-    # Local row offset is in the haloed frame (strip start minus one tile).
-    per_dev = []
-    for d in range(n):
-        lo, hi = d * strip_h, (d + 1) * strip_h
-        sel = (ys + th > lo) & (ys < hi)
-        local = np.stack([ys[sel] - lo + th, xs[sel]], axis=1).astype(np.int32)
-        per_dev.append(local)
-    max_tiles = max(len(p) for p in per_dev)
-    per_len = -(-max_tiles // batch_size) * batch_size
-    coords_dev = np.zeros((n, per_len, 2), dtype=np.int32)
-    valid_dev = np.zeros((n, per_len), dtype=np.float32)
-    for d, local in enumerate(per_dev):
-        coords_dev[d, : len(local)] = local
-        valid_dev[d, : len(local)] = 1.0
-    num_batches = per_len // batch_size
-    coords_dev = coords_dev.reshape(n, num_batches, batch_size, 2)
-    valid_dev = valid_dev.reshape(n, num_batches, batch_size)
+    # per-device, per-group tile lists: every tile of the group whose rows
+    # intersect the device strip.  Local row offset is in the haloed frame
+    # (strip start minus one tile).  Each group is padded to a common batch
+    # count across devices (padding tiles carry zero weight).
+    group_arrays = []  # [(coords [n, nb, B, 2], valid [n, nb, B])]
+    live_fns = []
+    for g_mask, fn in zip(masks, model_fns):
+        per_dev = []
+        for d in range(n):
+            lo, hi = d * strip_h, (d + 1) * strip_h
+            sel = g_mask & (ys + th > lo) & (ys < hi)
+            local = np.stack([ys[sel] - lo + th, xs[sel]], axis=1).astype(np.int32)
+            per_dev.append(local)
+        max_tiles = max(len(p) for p in per_dev)
+        if max_tiles == 0:
+            continue  # group empty everywhere (degenerate grids)
+        per_len = -(-max_tiles // batch_size) * batch_size
+        coords_dev = np.zeros((n, per_len, 2), dtype=np.int32)
+        valid_dev = np.zeros((n, per_len), dtype=np.float32)
+        for d, local in enumerate(per_dev):
+            coords_dev[d, : len(local)] = local
+            valid_dev[d, : len(local)] = 1.0
+        nb = per_len // batch_size
+        group_arrays.append(
+            (coords_dev.reshape(n, nb, batch_size, 2), valid_dev.reshape(n, nb, batch_size))
+        )
+        live_fns.append(fn)
 
     # input image as per-device row strips with a tile-height halo on both
     # sides (frame shift +th), so nothing full-resolution is replicated
@@ -140,55 +211,63 @@ def tiled_apply_sharded(
     )
 
     probe = jax.eval_shape(
-        model_fn, jax.ShapeDtypeStruct((batch_size, th, tw, image.shape[-1]), jnp.float32)
+        live_fns[0], jax.ShapeDtypeStruct((batch_size, th, tw, image.shape[-1]), jnp.float32)
     )
     out_channels = probe.shape[-1]
     weight_const = jnp.asarray(weight_np)[..., None]
 
-    def per_device_fn(img_strip, my_coords, my_valid, inv_norm_strip):
+    def per_device_fn(img_strip, inv_norm_strip, *groups_flat):
         img_strip = img_strip[0]  # [strip_h + 2*th, tgt_w, C]
-        my_coords = my_coords[0]
-        my_valid = my_valid[0]
         inv_norm_strip = inv_norm_strip[0]
         local = jnp.zeros((strip_h + 2 * th, tgt_w, out_channels), jnp.float32)
         local = _mark_varying(local, axis_name)
 
-        def step(local, inp):
-            batch_coords, batch_valid = inp
-            tiles = jax.vmap(
-                lambda yx: lax.dynamic_slice(
-                    img_strip, (yx[0], yx[1], 0), (th, tw, img_strip.shape[-1])
-                )
-            )(batch_coords)
-            preds = model_fn(tiles).astype(jnp.float32)
+        def make_step(fn):
+            def step(local, inp):
+                batch_coords, batch_valid = inp
+                tiles = jax.vmap(
+                    lambda yx: lax.dynamic_slice(
+                        img_strip, (yx[0], yx[1], 0), (th, tw, img_strip.shape[-1])
+                    )
+                )(batch_coords)
+                preds = fn(tiles).astype(jnp.float32)
 
-            def inner(i, local):
-                y, x = batch_coords[i, 0], batch_coords[i, 1]
-                region = lax.dynamic_slice(local, (y, x, 0), (th, tw, out_channels))
-                update = region + preds[i] * weight_const * batch_valid[i]
-                return lax.dynamic_update_slice(local, update, (y, x, 0))
+                def inner(i, local):
+                    y, x = batch_coords[i, 0], batch_coords[i, 1]
+                    region = lax.dynamic_slice(local, (y, x, 0), (th, tw, out_channels))
+                    update = region + preds[i] * weight_const * batch_valid[i]
+                    return lax.dynamic_update_slice(local, update, (y, x, 0))
 
-            return lax.fori_loop(0, batch_size, inner, local), None
+                return lax.fori_loop(0, batch_size, inner, local), None
 
-        local, _ = lax.scan(step, local, (my_coords, my_valid))
+            return step
+
+        for gi, fn in enumerate(live_fns):
+            my_coords = groups_flat[2 * gi][0]
+            my_valid = groups_flat[2 * gi + 1][0]
+            local, _ = lax.scan(make_step(fn), local, (my_coords, my_valid))
         # own strip only; halo rows belong to the neighbours, which computed
         # the straddling tiles themselves
         return local[th : th + strip_h] * inv_norm_strip
 
+    n_args = 2 + 2 * len(live_fns)
     sharded = shard_map(
         per_device_fn,
         mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
+        in_specs=tuple(P(axis_name) for _ in range(n_args)),
         out_specs=P(axis_name),
     )
 
     spec = NamedSharding(mesh, P(axis_name))
+    flat_args = []
+    for coords_dev, valid_dev in group_arrays:
+        flat_args.append(jax.device_put(jnp.asarray(coords_dev), spec))
+        flat_args.append(jax.device_put(jnp.asarray(valid_dev), spec))
     with mesh:
         merged = jax.jit(sharded)(
             jax.device_put(jnp.asarray(img_strips), spec),
-            jax.device_put(jnp.asarray(coords_dev), spec),
-            jax.device_put(jnp.asarray(valid_dev), spec),
             jax.device_put(jnp.asarray(inv_norm_strips), spec),
+            *flat_args,
         )
     return merged[
         slicer.margin_top : slicer.margin_top + h,
@@ -197,36 +276,53 @@ def tiled_apply_sharded(
 
 
 def _tiled_apply_replicated(
-    model_fn, image, mesh, tile_size, tile_step, weight, batch_size, axis_name
+    model_fns, partition, image, mesh, tile_size, tile_step, weight, batch_size, axis_name
 ) -> jnp.ndarray:
-    """Round-2 scheme: full-resolution accumulator per device + one psum."""
+    """Round-2 scheme: full-resolution accumulator per device + one psum.
+
+    Tile groups (d4 parity classes) are each round-robined over devices
+    independently, so the load stays balanced and every device scans group
+    g with group g's model function — same group order as the single-chip
+    grouped runner.
+    """
     h, w = int(image.shape[0]), int(image.shape[1])
     num_devices = int(mesh.shape[axis_name])
 
     slicer = ImageSlicer((h, w), tile_size, tile_step, weight=weight)
     th, tw = slicer.tile_size
     coords = slicer.crops
-    n_tiles = len(coords)
+    coords_yx_all = np.stack([coords[:, 1], coords[:, 0]], axis=1).astype(np.int64)
+    masks = _group_masks(coords_yx_all, slicer.tile_step, partition)
 
-    # pad tile count to devices * batch multiple; padding tiles get weight 0
-    per_device = -(-n_tiles // num_devices)
-    per_device = -(-per_device // batch_size) * batch_size
-    total = per_device * num_devices
+    group_arrays = []
+    live_fns = []
+    for g_mask, fn in zip(masks, model_fns):
+        g_coords = coords_yx_all[g_mask]
+        n_tiles = len(g_coords)
+        if n_tiles == 0:
+            continue
+        per_device = -(-n_tiles // num_devices)
+        per_device = -(-per_device // batch_size) * batch_size
+        total = per_device * num_devices
 
-    coords_yx = np.zeros((total, 2), dtype=np.int32)
-    coords_yx[:n_tiles, 0] = coords[:, 1]
-    coords_yx[:n_tiles, 1] = coords[:, 0]
-    valid = np.zeros((total,), dtype=np.float32)
-    valid[:n_tiles] = 1.0
+        coords_yx = np.zeros((total, 2), dtype=np.int32)
+        coords_yx[:n_tiles] = g_coords
+        valid = np.zeros((total,), dtype=np.float32)
+        valid[:n_tiles] = 1.0
 
-    # round-robin over devices so every device touches a similar canvas area
-    order = np.arange(total).reshape(-1, num_devices).T.reshape(-1)
-    coords_yx = coords_yx[order]
-    valid = valid[order]
+        # round-robin over devices so every device touches a similar canvas area
+        order = np.arange(total).reshape(-1, num_devices).T.reshape(-1)
+        coords_yx = coords_yx[order]
+        valid = valid[order]
 
-    num_batches = per_device // batch_size
-    coords_dev = coords_yx.reshape(num_devices, num_batches, batch_size, 2)
-    valid_dev = valid.reshape(num_devices, num_batches, batch_size)
+        nb = per_device // batch_size
+        group_arrays.append(
+            (
+                coords_yx.reshape(num_devices, nb, batch_size, 2),
+                valid.reshape(num_devices, nb, batch_size),
+            )
+        )
+        live_fns.append(fn)
 
     weight_np = slicer.weight.astype(np.float32)
     norm = np.zeros(slicer.target_shape, dtype=np.float64)
@@ -242,58 +338,63 @@ def _tiled_apply_replicated(
     ]
 
     probe = jax.eval_shape(
-        model_fn, jax.ShapeDtypeStruct((batch_size, th, tw, image.shape[-1]), jnp.float32)
+        live_fns[0], jax.ShapeDtypeStruct((batch_size, th, tw, image.shape[-1]), jnp.float32)
     )
     out_channels = probe.shape[-1]
 
     weight_const = jnp.asarray(weight_np)[..., None]
     inv_norm_const = jnp.asarray(1.0 / norm)[..., None]
 
-    def per_device_fn(padded, my_coords, my_valid):
-        # shard_map gives the per-device shard with a leading axis of size 1
-        my_coords = my_coords[0]
-        my_valid = my_valid[0]
+    def per_device_fn(padded, *groups_flat):
         canvas = jnp.zeros((tgt_h, tgt_w, out_channels), jnp.float32)
         canvas = _mark_varying(canvas, axis_name)
 
-        def step(canvas, inp):
-            batch_coords, batch_valid = inp
-            tiles = jax.vmap(
-                lambda yx: lax.dynamic_slice(padded, (yx[0], yx[1], 0), (th, tw, padded.shape[-1]))
-            )(batch_coords)
-            preds = model_fn(tiles).astype(jnp.float32)
+        def make_step(fn):
+            def step(canvas, inp):
+                batch_coords, batch_valid = inp
+                tiles = jax.vmap(
+                    lambda yx: lax.dynamic_slice(padded, (yx[0], yx[1], 0), (th, tw, padded.shape[-1]))
+                )(batch_coords)
+                preds = fn(tiles).astype(jnp.float32)
 
-            def inner(i, canvas):
-                y, x = batch_coords[i, 0], batch_coords[i, 1]
-                region = lax.dynamic_slice(canvas, (y, x, 0), (th, tw, out_channels))
-                update = region + preds[i] * weight_const * batch_valid[i]
-                return lax.dynamic_update_slice(canvas, update, (y, x, 0))
+                def inner(i, canvas):
+                    y, x = batch_coords[i, 0], batch_coords[i, 1]
+                    region = lax.dynamic_slice(canvas, (y, x, 0), (th, tw, out_channels))
+                    update = region + preds[i] * weight_const * batch_valid[i]
+                    return lax.dynamic_update_slice(canvas, update, (y, x, 0))
 
-            return lax.fori_loop(0, batch_size, inner, canvas), None
+                return lax.fori_loop(0, batch_size, inner, canvas), None
 
-        canvas, _ = lax.scan(step, canvas, (my_coords, my_valid))
+            return step
+
+        for gi, fn in enumerate(live_fns):
+            my_coords = groups_flat[2 * gi][0]
+            my_valid = groups_flat[2 * gi + 1][0]
+            canvas, _ = lax.scan(make_step(fn), canvas, (my_coords, my_valid))
         # merge partial canvases across the tile axis (rides ICI)
         canvas = lax.psum(canvas, axis_name)
         return canvas * inv_norm_const
 
+    n_groups = len(live_fns)
     sharded = shard_map(
         per_device_fn,
         mesh=mesh,
-        in_specs=(P(), P(axis_name), P(axis_name)),
+        in_specs=(P(),) + tuple(P(axis_name) for _ in range(2 * n_groups)),
         out_specs=P(),
     )
 
     @jax.jit
-    def run(image, coords, valid):
+    def run(image, *flat):
         padded = jnp.pad(image, pad_spec)
-        return sharded(padded, coords, valid)
+        return sharded(padded, *flat)
 
+    spec = NamedSharding(mesh, P(axis_name))
+    flat_args = []
+    for coords_dev, valid_dev in group_arrays:
+        flat_args.append(jax.device_put(jnp.asarray(coords_dev), spec))
+        flat_args.append(jax.device_put(jnp.asarray(valid_dev), spec))
     with mesh:
-        merged = run(
-            jnp.asarray(image),
-            jax.device_put(jnp.asarray(coords_dev), NamedSharding(mesh, P(axis_name))),
-            jax.device_put(jnp.asarray(valid_dev), NamedSharding(mesh, P(axis_name))),
-        )
+        merged = run(jnp.asarray(image), *flat_args)
     return merged[
         slicer.margin_top : slicer.margin_top + h,
         slicer.margin_left : slicer.margin_left + w,

@@ -46,6 +46,7 @@ from .tensor import (
 from .visualization import (
     grid_stack,
     hstack_autopad,
+    plot_compressed_confusion_matrix,
     plot_confusion_matrix,
     plot_heatmap,
     render_figure_to_tensor,

@@ -5,7 +5,6 @@ matplotlib renders with the Agg backend; figures can be converted to HWC
 arrays for TensorBoard-style logging.
 """
 
-import itertools
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -20,6 +19,16 @@ __all__ = [
     "vstack_header",
     "grid_stack",
 ]
+
+
+def _cell_text_color(value, norm, cmap) -> str:
+    """Contrast-aware annotation color: sample the colormap at the cell's
+    normalized value and pick black/white by perceived luminance of the
+    actual cell color (Rec. 601 weights) — robust for any colormap, unlike
+    a data-midpoint threshold."""
+    r, g, b, _ = cmap(norm(value))
+    luminance = 0.299 * r + 0.587 * g + 0.114 * b
+    return "white" if luminance < 0.5 else "black"
 
 
 def plot_heatmap(
@@ -38,7 +47,14 @@ def plot_heatmap(
     cmap=None,
     backend: str = "Agg",
 ):
-    """Render a 2D array as an annotated heatmap figure."""
+    """Render a 2D array as an annotated heatmap figure.
+
+    Capability target: pytorch_toolbelt/utils/visualization.py:40-92
+    (`plot_heatmap`) — same call signature, independent implementation on
+    the matplotlib axes-object API with luminance-based annotation
+    contrast instead of the reference's data-midpoint rule.
+    """
+    cm = np.asarray(cm)
     if cm.ndim != 2:
         raise ValueError("Heatmap must be a 2-D array")
     import matplotlib
@@ -47,41 +63,43 @@ def plot_heatmap(
     import matplotlib.pyplot as plt
 
     if cmap is None:
-        cmap = plt.cm.Oranges
+        cmap = matplotlib.colormaps["Oranges"]
+    elif isinstance(cmap, str):
+        cmap = matplotlib.colormaps[cmap]
 
-    f = plt.figure(figsize=figsize)
-    plt.imshow(cm, interpolation="nearest", cmap=cmap)
-    plt.title(title)
-    plt.colorbar(fraction=0.046, pad=0.04)
+    fig, ax = plt.subplots(figsize=figsize)
+    mesh = ax.imshow(cm, interpolation="nearest", cmap=cmap)
+    ax.set_title(title)
+    if x_label is not None:
+        ax.set_xlabel(x_label)
+    if y_label is not None:
+        ax.set_ylabel(y_label)
+    fig.colorbar(mesh, ax=ax, shrink=0.82)
 
     if x_ticks is not None:
-        plt.xticks(np.arange(len(x_ticks)), x_ticks, rotation=45, ha="right")
+        ax.set_xticks(range(len(x_ticks)), labels=x_ticks, rotation=45, ha="right")
     if y_ticks is not None:
-        plt.yticks(np.arange(len(y_ticks)), y_ticks)
-
-    if format_string is None:
-        format_string = ".2f" if np.issubdtype(cm.dtype, np.floating) else "d"
+        ax.set_yticks(range(len(y_ticks)), labels=y_ticks)
 
     if show_scores:
-        thresh = (cm.max() + cm.min()) / 2.0
-        for i, j in itertools.product(range(cm.shape[0]), range(cm.shape[1])):
-            text = format(cm[i, j], format_string) if np.isfinite(cm[i, j]) else "N/A"
-            plt.text(
-                j, i, text,
-                horizontalalignment="center",
-                verticalalignment="center_baseline",
+        if format_string is None:
+            format_string = ".2f" if np.issubdtype(cm.dtype, np.floating) else "d"
+        for (row, col), value in np.ndenumerate(cm):
+            ax.annotate(
+                format(value, format_string) if np.isfinite(value) else "N/A",
+                xy=(col, row),
+                ha="center",
+                va="center",
                 fontsize=fontsize,
-                color="white" if cm[i, j] > thresh else "black",
+                color=_cell_text_color(value, mesh.norm, cmap),
             )
 
-    plt.xlabel(x_label)
-    plt.ylabel(y_label)
-    plt.tight_layout()
+    fig.tight_layout()
     if fname is not None:
-        plt.savefig(fname=fname, dpi=200)
+        fig.savefig(fname, dpi=200)
     if not noshow:
         plt.show()
-    return f
+    return fig
 
 
 def plot_confusion_matrix(
@@ -137,11 +155,6 @@ def plot_compressed_confusion_matrix(
     tick labels, so it stays readable (and fast to render) for hundreds of
     classes.  Parity target: pytorch_toolbelt/utils/visualization.py:94-131.
     """
-    import matplotlib
-
-    matplotlib.use(backend, force=False)
-    from matplotlib import pyplot as plt
-
     cm = np.asarray(cm)
     if normalize:
         with np.errstate(all="ignore"):
@@ -151,18 +164,18 @@ def plot_compressed_confusion_matrix(
         accuracy = np.trace(cm) / (float(np.sum(cm)) + 1e-8)
         x_label = f"Predicted label\nAccuracy={accuracy:0.4f}; Misclass={1 - accuracy:0.4f}"
 
-    f = plt.figure(figsize=figsize)
-    plt.imshow(cm, interpolation="nearest", cmap=cmap)
-    plt.colorbar(fraction=0.046, pad=0.04)
-    plt.title(title)
-    plt.xlabel(x_label)
-    plt.ylabel("True label")
-    plt.tight_layout()
-    if fname is not None:
-        plt.savefig(fname, dpi=200)
-    if not noshow:
-        plt.show()
-    return f
+    return plot_heatmap(
+        cm,
+        title=title,
+        x_label=x_label,
+        y_label="True label",
+        show_scores=False,
+        figsize=figsize,
+        fname=fname,
+        noshow=noshow,
+        cmap=cmap,
+        backend=backend,
+    )
 
 
 def render_figure_to_tensor(figure) -> np.ndarray:

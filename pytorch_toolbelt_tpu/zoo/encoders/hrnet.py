@@ -19,6 +19,7 @@ from .resnet import BasicBlock, Bottleneck
 __all__ = [
     "HRNetEncoder",
     "hrnet18_encoder",
+    "hrnet32_encoder",
     "hrnet34_encoder",
     "hrnet48_encoder",
     "hrnet_w18_small_v2_encoder",
@@ -142,6 +143,12 @@ def hrnet18_encoder(**kwargs):
 
 def hrnet34_encoder(**kwargs):
     return HRNetEncoder(width=34, **kwargs)
+
+
+def hrnet32_encoder(**kwargs):
+    """HRNet-W32 (capability target: encoders/timm/hrnet.py:44-57 — timm
+    hrnet_w32: standard stage config at branch width 32)."""
+    return HRNetEncoder(width=32, **kwargs)
 
 
 def hrnet48_encoder(**kwargs):

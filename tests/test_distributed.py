@@ -145,3 +145,107 @@ def test_tiled_apply_sharded_with_real_unet():
     )
     single = tiled_apply(infer, image, tile_size=64, tile_step=32, weight="pyramid", batch_size=2)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# d4 TTA composed with the sharded canvas (VERDICT r3 #1)
+# ---------------------------------------------------------------------------
+
+
+def test_tiled_apply_sharded_d4_distributed_exact_oracle():
+    """The mesh-sharded distributed-d4 blend must match the SAME independent
+    host-side numpy oracle the single-chip path is proven against
+    (test_tiles.py::test_tiled_apply_d4_tta_distributed_exact_oracle), on a
+    model that is NOT d4-equivariant — wrong view pairing, wrong inverse,
+    wrong weighting, or wrong strip/halo bookkeeping all fail loudly."""
+    from test_tiles import _host_tiled_d4_oracle, _nonequivariant_model
+
+    from pytorch_toolbelt_tpu.inference.tiles import _D4_PARITY_VIEW_PAIRS
+
+    model_jax, model_np = _nonequivariant_model()
+    rng = np.random.RandomState(42)
+    image_np = rng.random((100, 90, 3)).astype(np.float32)
+
+    mesh = dist.make_mesh(jax.devices(), data_parallel=8, spatial_parallel=1)
+    out = dist.tiled_apply_sharded(
+        model_jax, jnp.asarray(image_np), mesh, tile_size=32, tile_step=16,
+        weight="pyramid", batch_size=4, d4_tta="distributed",
+    )
+
+    def views_for_tile(y, x):
+        parity = (y // 16) % 2 * 2 + (x // 16) % 2
+        return _D4_PARITY_VIEW_PAIRS[parity]
+
+    expected = _host_tiled_d4_oracle(image_np, model_np, 32, 16, views_for_tile)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
+
+
+def test_tiled_apply_sharded_d4_bitmatches_single_chip():
+    """strips-canvas distributed-d4 must BIT-match the single-chip
+    mode='distributed' output: per pixel the contributing tiles, their group
+    order, and every fp32 operation are identical in both programs."""
+    from test_tiles import _nonequivariant_model
+
+    from pytorch_toolbelt_tpu.inference import tiled_apply_d4_tta
+
+    model_jax, _ = _nonequivariant_model()
+    rng = np.random.RandomState(7)
+    image_np = rng.random((128, 96, 3)).astype(np.float32)
+    image = jnp.asarray(image_np)
+
+    mesh = dist.make_mesh(jax.devices(), data_parallel=8, spatial_parallel=1)
+    sharded = dist.tiled_apply_sharded(
+        model_jax, image, mesh, tile_size=32, tile_step=16,
+        weight="pyramid", batch_size=4, d4_tta="distributed",
+    )
+    single = tiled_apply_d4_tta(
+        model_jax, image, tile_size=32, tile_step=16, batch_size=4, mode="distributed"
+    )
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(single))
+
+
+def test_tiled_apply_sharded_d4_full_oracle():
+    """d4_tta='full' over the mesh: all 8 views per tile, matching the host
+    oracle and the single-chip mode='full' pipeline."""
+    from test_tiles import _host_tiled_d4_oracle, _nonequivariant_model
+
+    model_jax, model_np = _nonequivariant_model()
+    rng = np.random.RandomState(43)
+    image_np = rng.random((100, 90, 3)).astype(np.float32)
+
+    mesh = dist.make_mesh(jax.devices(), data_parallel=8, spatial_parallel=1)
+    out = dist.tiled_apply_sharded(
+        model_jax, jnp.asarray(image_np), mesh, tile_size=32, tile_step=16,
+        weight="pyramid", batch_size=4, d4_tta="full",
+    )
+    expected = _host_tiled_d4_oracle(image_np, model_np, 32, 16, lambda y, x: tuple(range(8)))
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
+
+
+def test_tiled_apply_sharded_d4_replicated_canvas():
+    """The replicated-psum canvas runs the same parity-class algorithm
+    (group-wise round-robin); it psums across devices so agreement with the
+    strips canvas is to fp32 reduction tolerance, not bit-exact."""
+    from test_tiles import _nonequivariant_model
+
+    model_jax, _ = _nonequivariant_model()
+    rng = np.random.RandomState(8)
+    image = jnp.asarray(rng.random((128, 96, 3)).astype(np.float32))
+
+    mesh = dist.make_mesh(jax.devices(), data_parallel=8, spatial_parallel=1)
+    kw = dict(tile_size=32, tile_step=16, weight="pyramid", batch_size=4, d4_tta="distributed")
+    strips = dist.tiled_apply_sharded(model_jax, image, mesh, canvas="strips", **kw)
+    replicated = dist.tiled_apply_sharded(model_jax, image, mesh, canvas="replicated", **kw)
+    np.testing.assert_allclose(np.asarray(strips), np.asarray(replicated), atol=1e-5)
+
+
+def test_tiled_apply_sharded_d4_requires_half_step():
+    from test_tiles import _nonequivariant_model
+
+    model_jax, _ = _nonequivariant_model()
+    mesh = dist.make_mesh(jax.devices(), data_parallel=8, spatial_parallel=1)
+    with pytest.raises(ValueError, match="distributed"):
+        dist.tiled_apply_sharded(
+            model_jax, jnp.zeros((96, 96, 3)), mesh, tile_size=32, tile_step=24,
+            d4_tta="distributed",
+        )

@@ -164,6 +164,21 @@ def test_plot_confusion_matrix(tmp_path):
     assert (tmp_path / "cm.png").exists()
 
 
+def test_plot_heatmap_variants(tmp_path):
+    """Float values, NaN cells (rendered 'N/A'), string cmap, and the
+    compressed (annotation-free) confusion matrix all render."""
+    cm = np.array([[0.5, np.nan], [0.25, 1.0]], dtype=np.float64)
+    f = U.plot_heatmap(cm, title="t", x_ticks=["a", "b"], y_ticks=["c", "d"],
+                       figsize=(3, 3), noshow=True, cmap="viridis")
+    img = U.render_figure_to_tensor(f)
+    assert img.ndim == 3 and img.shape[2] == 3
+    f2 = U.plot_compressed_confusion_matrix(
+        np.eye(50, dtype=np.int64), figsize=(3, 3), noshow=True,
+        fname=str(tmp_path / "ccm.png"))
+    U.render_figure_to_tensor(f2)
+    assert (tmp_path / "ccm.png").exists()
+
+
 def test_stack_helpers():
     a = np.zeros((10, 20, 3), dtype=np.uint8)
     b = np.zeros((15, 10, 3), dtype=np.uint8)
