@@ -1,0 +1,116 @@
+"""HBM-bandwidth accounting of the pointwise loss suite (VERDICT r3 #4).
+
+For each config-4 loss (fwd+bwd on batch-8 19-class 1024x1024 logits) this
+script computes the ANALYTIC minimum HBM traffic of a value_and_grad step
+and compares three implementations on the real chip:
+
+* plain    — jitted ``jax.value_and_grad`` of the library loss (what the
+             round-2/3 loss bench measured);
+* remat    — the same loss wrapped in ``jax.checkpoint`` with the
+             ``nothing_saveable`` policy, so the backward pass RECOMPUTES
+             the forward chain instead of streaming saved residuals
+             through HBM;
+* floor    — the analytic byte minimum at the v5e HBM bandwidth.
+
+Minimum traffic of a fwd+bwd step (scalar loss):
+    forward:  read logits (+ targets)          -> reduction to scalar
+    backward: read logits (+ targets) again, write dL/dlogits
+i.e. 2*|logits| + 2*|targets| + |grad| bytes; anything beyond that is
+residual traffic the implementation chose to spend.
+
+Timing: CHAINED iterations (each step's logits depend on the previous
+gradient) — the axon relay deduplicates identical executions and defers
+compile to the first d2h sync, so chain + one scalar read is the only
+reliable methodology (see benchmarks/loss_bench.py).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_toolbelt_tpu import losses as L
+
+B, H, W, C = 8, 1024, 1024, 19
+HBM_GBPS = 819.0  # v5e chip HBM bandwidth (public spec)
+
+
+def bench(step, logits, target, iters=5):
+    x, value, _ = step(logits, target)
+    float(value)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x, value, _ = step(x, target)
+    float(value)
+    return (time.perf_counter() - t0) / iters
+
+
+def run_case(name, loss_fn, logits, target, floor_bytes):
+    def make_step(wrapped):
+        @jax.jit
+        def step(x, t):
+            value, grad = jax.value_and_grad(lambda x_: wrapped(x_, t))(x)
+            return x + 1e-4 * grad, value, grad
+
+        return step
+
+    remat_loss = jax.checkpoint(
+        loss_fn, policy=jax.checkpoint_policies.nothing_saveable
+    )
+
+    dt_plain = bench(make_step(loss_fn), logits, target)
+    dt_remat = bench(make_step(remat_loss), logits, target)
+    floor_ms = floor_bytes / HBM_GBPS / 1e6
+    row = {
+        "loss": name,
+        "plain_ms": round(dt_plain * 1e3, 2),
+        "remat_ms": round(dt_remat * 1e3, 2),
+        "floor_ms": round(floor_ms, 2),
+        "plain_x_floor": round(dt_plain * 1e3 / floor_ms, 2),
+        "remat_x_floor": round(dt_remat * 1e3 / floor_ms, 2),
+        "remat_speedup": round(dt_plain / dt_remat, 2),
+        "remat_pct_hbm_peak": round(100 * floor_ms / (dt_remat * 1e3), 1),
+    }
+    print(json.dumps(row))
+    return row
+
+
+def main():
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    target_int = jnp.asarray(rng.randint(0, C, size=(B, H, W)).astype(np.int32))
+    target_bin = jnp.asarray((rng.rand(B, H, W, C) > 0.5).astype(np.float32))
+
+    n_logits = B * H * W * C * 4
+    n_int = B * H * W * 4
+    floor_int = 3 * n_logits + 2 * n_int  # logits read x2 + grad write + targets x2
+    floor_bin = 3 * n_logits + 2 * n_logits  # dense float targets read twice
+
+    rows = []
+    rows.append(
+        run_case(
+            "focal_softmax",
+            lambda x, t: L.softmax_focal_loss_with_logits(x, t),
+            logits, target_int, floor_int,
+        )
+    )
+    dice = L.DiceLoss(mode="multiclass")
+    rows.append(run_case("dice_multiclass", lambda x, t: dice(x, t), logits, target_int, floor_int))
+    jac = L.JaccardLoss(mode="multilabel")
+    rows.append(run_case("jaccard_multilabel", lambda x, t: jac(x, t), logits, target_bin, floor_bin))
+    bt = L.BiTemperedLogisticLoss(t1=0.8, t2=1.4)
+    rows.append(run_case("bitempered", lambda x, t: bt(x, t), logits, target_int, floor_int))
+    focal_bin = L.BinaryFocalLoss()
+    rows.append(run_case("focal_binary", lambda x, t: focal_bin(x, t), logits, target_bin, floor_bin))
+
+    print(json.dumps({"rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -392,20 +392,21 @@ from functools import lru_cache
 
 
 def _stack_batches(coords_yx_np: np.ndarray, batch_size: int):
-    """Pad a [N, 2] (row, col) coord list to a multiple of batch_size and
-    reshape to stacked [num_batches, B, 2] device batches + validity mask
-    (padding tiles get zero weight)."""
-    n_tiles = len(coords_yx_np)
-    n_pad = (-n_tiles) % batch_size
-    coords_yx = np.zeros((n_tiles + n_pad, 2), dtype=np.int32)
-    coords_yx[:n_tiles] = coords_yx_np
-    valid = np.zeros((n_tiles + n_pad,), dtype=np.float32)
-    valid[:n_tiles] = 1.0
-    num_batches = (n_tiles + n_pad) // batch_size
-    return (
-        jnp.asarray(coords_yx.reshape(num_batches, batch_size, 2)),
-        jnp.asarray(valid.reshape(num_batches, batch_size)),
-    )
+    """Split a [N, 2] (row, col) coord list into stacked full batches
+    [num_batches, B, 2] plus an EXACT-size remainder batch [N % B, 2]
+    (empty array when B divides N).
+
+    No padding tiles: a padded slot still runs the full model on garbage
+    data, and at the bench config the four d4 parity groups padded to a
+    batch-32 multiple waste ~15% of all model compute (416 slots for 361
+    tiles).  The remainder runs as one separate (smaller) XLA program —
+    one extra compile per distinct remainder size, zero wasted FLOPs."""
+    coords = np.asarray(coords_yx_np, dtype=np.int32)
+    n_tiles = len(coords)
+    num_batches = n_tiles // batch_size
+    main = coords[: num_batches * batch_size].reshape(num_batches, batch_size, 2)
+    rem = coords[num_batches * batch_size :]
+    return jnp.asarray(main), jnp.asarray(rem)
 
 
 @lru_cache(maxsize=4)
@@ -438,7 +439,7 @@ def _get_tiled_plan(h, w, tile_size, tile_step, weight, batch_size, partition="n
 
     groups = tuple(_stack_batches(g, batch_size) for g in group_coords_np)
     group_coords = tuple(g[0] for g in groups)
-    group_valid = tuple(g[1] for g in groups)
+    group_rem = tuple(g[1] for g in groups)
 
     weight_np = slicer.weight.astype(np.float32)
 
@@ -450,7 +451,7 @@ def _get_tiled_plan(h, w, tile_size, tile_step, weight, batch_size, partition="n
 
     weight_dev = jnp.asarray(weight_np)[..., None]
     inv_norm = jnp.asarray(1.0 / norm)[..., None]
-    return slicer, group_coords, group_valid, weight_dev, inv_norm
+    return slicer, group_coords, group_rem, weight_dev, inv_norm
 
 
 @lru_cache(maxsize=8)
@@ -458,9 +459,12 @@ def _build_tiled_runner(model_fns, tgt_h, tgt_w, th, tw, out_channels, batch_siz
     """Compile (once per config) the pad->slice->model->merge program.
 
     ``model_fns`` is a tuple of callables; the runner takes one
-    (coords, valid) pair of stacked batches per callable and scans each
-    group with its own model function (this is how parity-partitioned TTA
-    assigns different view subsets to different tile groups).
+    (coords, remainder) pair of batches per callable and scans each group
+    with its own model function (this is how parity-partitioned TTA assigns
+    different view subsets to different tile groups).  Full batches run
+    under one lax.scan; the exact-size remainder batch (when the group size
+    is not a batch multiple) runs as one additional step — no padding tiles
+    ever execute the model.
 
     NOTE: keyed on the ``model_fns`` identities (like jax.jit itself) —
     callers must pass STABLE callables; a fresh lambda per call forces a
@@ -469,34 +473,37 @@ def _build_tiled_runner(model_fns, tgt_h, tgt_w, th, tw, out_channels, batch_siz
     entries."""
 
     @jax.jit
-    def run(padded, group_coords, group_valid, weight_dev, inv_norm):
+    def run(padded, group_coords, group_rem, weight_dev, inv_norm):
         canvas = jnp.zeros((tgt_h, tgt_w, out_channels), dtype=acc_dtype)
         # keep the weighted-update arithmetic in the accumulator dtype so a
         # bf16 canvas stays bf16 through the DUS (the final inv_norm multiply
         # below still normalizes in fp32)
         weight_acc = weight_dev.astype(acc_dtype)
 
-        def make_step(model_fn):
-            def step(canvas, inp):
-                batch_coords, batch_valid = inp  # [B, 2], [B]
-                tiles = jax.vmap(
-                    lambda yx: lax.dynamic_slice(padded, (yx[0], yx[1], 0), (th, tw, padded.shape[-1]))
-                )(batch_coords)
-                preds = model_fn(tiles).astype(acc_dtype)
+        def accumulate_batch(model_fn, canvas, batch_coords):
+            n = batch_coords.shape[0]
+            tiles = jax.vmap(
+                lambda yx: lax.dynamic_slice(padded, (yx[0], yx[1], 0), (th, tw, padded.shape[-1]))
+            )(batch_coords)
+            preds = model_fn(tiles).astype(acc_dtype)
 
-                def inner(i, canvas):
-                    y, x = batch_coords[i, 0], batch_coords[i, 1]
-                    region = lax.dynamic_slice(canvas, (y, x, 0), (th, tw, out_channels))
-                    update = region + preds[i] * weight_acc * batch_valid[i].astype(acc_dtype)
-                    return lax.dynamic_update_slice(canvas, update, (y, x, 0))
+            def inner(i, canvas):
+                y, x = batch_coords[i, 0], batch_coords[i, 1]
+                region = lax.dynamic_slice(canvas, (y, x, 0), (th, tw, out_channels))
+                update = region + preds[i] * weight_acc
+                return lax.dynamic_update_slice(canvas, update, (y, x, 0))
 
-                canvas = lax.fori_loop(0, batch_size, inner, canvas)
-                return canvas, None
+            return lax.fori_loop(0, n, inner, canvas)
 
-            return step
-
-        for model_fn, coords_dev, valid_dev in zip(model_fns, group_coords, group_valid):
-            canvas, _ = lax.scan(make_step(model_fn), canvas, (coords_dev, valid_dev))
+        for model_fn, coords_dev, rem_dev in zip(model_fns, group_coords, group_rem):
+            if coords_dev.shape[0] > 0:
+                canvas, _ = lax.scan(
+                    lambda c, bc, fn=model_fn: (accumulate_batch(fn, c, bc), None),
+                    canvas,
+                    coords_dev,
+                )
+            if rem_dev.shape[0] > 0:
+                canvas = accumulate_batch(model_fn, canvas, rem_dev)
         return canvas * inv_norm
 
     return run
@@ -561,7 +568,7 @@ def _tiled_apply_grouped(
 ) -> jnp.ndarray:
     h, w = int(image.shape[0]), int(image.shape[1])
     plan_fn = _get_tiled_plan.__wrapped__ if isinstance(weight, np.ndarray) else _get_tiled_plan
-    slicer, group_coords, group_valid, weight_dev, inv_norm = plan_fn(
+    slicer, group_coords, group_rem, weight_dev, inv_norm = plan_fn(
         h, w,
         tile_size if isinstance(tile_size, int) else tuple(tile_size),
         tile_step if isinstance(tile_step, int) else tuple(tile_step),
@@ -592,7 +599,7 @@ def _tiled_apply_grouped(
     runner = _build_tiled_runner(
         model_fns, tgt_h, tgt_w, th, tw, int(out_channels), batch_size, accumulator_dtype
     )
-    merged = runner(padded, group_coords, group_valid, weight_dev, inv_norm)
+    merged = runner(padded, group_coords, group_rem, weight_dev, inv_norm)
     return merged[
         slicer.margin_top : slicer.margin_top + h,
         slicer.margin_left : slicer.margin_left + w,

@@ -1,0 +1,471 @@
+"""Post-training int8 quantized inference for ``EncoderDecoderModel``
+pipelines (ResNet-family trunk + FPN decoder + resize head) — the
+generalization of ``quantized_unet.py`` to BASELINE config 3's model class
+(SEResNeXt50-FPN, 19 classes).
+
+Same TPU-native design rules as the UNet path (see quantized_unet.py for
+the measurements that dictated them): the network stays in the integer
+domain end to end, weights are per-output-channel symmetric int8 with the
+producer's activation scales absorbed exactly into the consumer's weights,
+and conv epilogues are integer-only shift requants.  Three structures the
+UNet does not have get explicit treatment:
+
+* **Residual adds** (BasicBlock/Bottleneck shortcuts, FPN top-down sums):
+  the two addends carry unrelated per-channel scales, so shift-only
+  alignment is impossible.  Each addend is requantized to the add's
+  calibrated output scale with a per-channel int32 fixed-point multiplier
+  (``round(sigma_in/sigma_out * 2^12)``) — still integer-only; the float
+  multiply never touches a full activation.
+* **SE gates**: the squeeze path (GAP -> fc -> relu -> fc -> sigmoid) runs
+  in f32 on the pooled [B, 1, 1, C] vector (negligible — ~C values per
+  image) and the excitation becomes an integer multiply by
+  ``round(gate * 2^14)`` with a >>14 requant; since gate <= 1 the
+  activation scale is preserved exactly.
+* **Bias-only convs** (FPN laterals/prediction convs, heads — no BN, no
+  ReLU): quantized like conv+BN but with signed calibrated ranges.
+
+Only the image input (one quantize) and the head logits (one dequant at
+the head's stride-4 resolution, before the f32 output resize) touch float.
+
+Reference semantics quantized: seresnet.py:33-126 (trunk) +
+decoders/fpn.py:13-88 + heads/resize.py:11-82 inference forward (the torch
+reference has no quantized path; this is a TPU-native extension).
+"""
+
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.functional import _linear_weights
+from .decoders.fpn import FPNDecoder
+from .encoders.resnet import ResNetEncoder
+from .heads.resize import ResizeHead
+from .models import EncoderDecoderModel
+from .quantized_unet import _QMAX, _q_upsample, _q_upsample_matrices, _quantize_conv
+
+__all__ = ["quantize_encoder_decoder_inference"]
+
+_ADD_SHIFT = 12  # fixed-point bits for residual-add requant multipliers
+_SE_SHIFT = 14  # fixed-point bits for the SE excitation multiply
+
+
+# ---------------------------------------------------------------------------
+# Graph IR: the architecture is built ONCE as a list of nodes, then
+# interpreted three times — f32 calibration replay, scale propagation /
+# constant building, and the jitted int8 forward.  One structure, no
+# divergence between the replays.
+# ---------------------------------------------------------------------------
+
+
+class _Node:
+    __slots__ = ("op", "inputs", "attrs", "id")
+
+    def __init__(self, op: str, inputs: List[int], **attrs):
+        self.op = op
+        self.inputs = inputs
+        self.attrs = attrs
+        self.id = None  # assigned by _Graph.add
+
+
+class _Graph:
+    def __init__(self):
+        self.nodes: List[_Node] = []
+
+    def add(self, op: str, inputs: List[int], **attrs) -> int:
+        node = _Node(op, inputs, **attrs)
+        node.id = len(self.nodes)
+        self.nodes.append(node)
+        return node.id
+
+
+def _fold_conv_bn(params, stats, conv_name: str, bn_name: str):
+    """conv (no bias) + BatchNorm -> (w_eff f64, bias f64)."""
+    w = np.asarray(params[conv_name]["kernel"], np.float64)
+    bn = params[bn_name]["BatchNorm_0"] if "BatchNorm_0" in params.get(bn_name, {}) else params[bn_name]
+    st = stats[bn_name]["BatchNorm_0"] if "BatchNorm_0" in stats.get(bn_name, {}) else stats[bn_name]
+    scale = np.asarray(bn["scale"], np.float64)
+    bias = np.asarray(bn["bias"], np.float64)
+    mean = np.asarray(st["mean"], np.float64)
+    var = np.asarray(st["var"], np.float64)
+    s = scale / np.sqrt(var + 1e-5)
+    return w * s[None, None, None, :], bias - mean * s
+
+
+def _conv_with_bias(params, conv_name: str):
+    w = np.asarray(params[conv_name]["kernel"], np.float64)
+    b = np.asarray(params[conv_name].get("bias", np.zeros(w.shape[-1])), np.float64)
+    return w, b
+
+
+def _build_resnet_graph(g: _Graph, enc: ResNetEncoder, params, stats, x_id: int) -> List[int]:
+    """Append the ResNetEncoder inference graph; return feature-map node ids."""
+    conv_i = [0]
+    bn_i = [0]
+
+    def next_conv():
+        name = f"Conv_{conv_i[0]}"
+        conv_i[0] += 1
+        return name
+
+    def next_bn():
+        name = f"BatchNorm_{bn_i[0]}"
+        bn_i[0] += 1
+        return name
+
+    outputs = []
+    if enc.deep_stem:
+        w, b = _fold_conv_bn(params, stats, next_conv(), next_bn())
+        x_id = g.add("conv", [x_id], w=w, b=b, stride=2, groups=1, relu=True, pad="SAME")
+        w, b = _fold_conv_bn(params, stats, next_conv(), next_bn())
+        x_id = g.add("conv", [x_id], w=w, b=b, stride=1, groups=1, relu=True, pad="SAME")
+        w, b = _fold_conv_bn(params, stats, next_conv(), next_bn())
+        x_id = g.add("conv", [x_id], w=w, b=b, stride=1, groups=1, relu=True, pad="SAME")
+    else:
+        w, b = _fold_conv_bn(params, stats, next_conv(), next_bn())
+        x_id = g.add("conv", [x_id], w=w, b=b, stride=2, groups=1, relu=True, pad=((3, 3), (3, 3)))
+    outputs.append(x_id)
+
+    x_id = g.add("maxpool3s2", [x_id])
+
+    block_prefix = "Bottleneck" if enc.bottleneck else "BasicBlock"
+    block_index = 0
+    for stage_index, num_blocks in enumerate(enc.stage_blocks):
+        stage_stride = 1 if stage_index == 0 else 2
+        for bi in range(num_blocks):
+            bp = params[f"{block_prefix}_{block_index}"]
+            bs = stats[f"{block_prefix}_{block_index}"]
+            stride = stage_stride if bi == 0 else 1
+            residual_id = x_id
+            if enc.bottleneck:
+                w, b = _fold_conv_bn(bp, bs, "Conv_0", "BatchNorm_0")
+                y = g.add("conv", [x_id], w=w, b=b, stride=1, groups=1, relu=True, pad="SAME")
+                w, b = _fold_conv_bn(bp, bs, "Conv_1", "BatchNorm_1")
+                y = g.add("conv", [y], w=w, b=b, stride=stride, groups=enc.groups, relu=True, pad="SAME")
+                w, b = _fold_conv_bn(bp, bs, "Conv_2", "BatchNorm_2")
+                y = g.add("conv", [y], w=w, b=b, stride=1, groups=1, relu=False, pad="SAME")
+                down_conv = "Conv_3"
+                down_bn = "BatchNorm_3"
+            else:
+                w, b = _fold_conv_bn(bp, bs, "Conv_0", "BatchNorm_0")
+                y = g.add("conv", [x_id], w=w, b=b, stride=stride, groups=1, relu=True, pad="SAME")
+                w, b = _fold_conv_bn(bp, bs, "Conv_1", "BatchNorm_1")
+                y = g.add("conv", [y], w=w, b=b, stride=1, groups=1, relu=False, pad="SAME")
+                down_conv = "Conv_2"
+                down_bn = "BatchNorm_2"
+            if enc.use_se:
+                se = bp["_SEModule_0"]
+                w1, b1 = _conv_with_bias(se, "Conv_0")
+                w2, b2 = _conv_with_bias(se, "Conv_1")
+                y = g.add("se", [y], w1=w1, b1=b1, w2=w2, b2=b2)
+            if down_conv in bp:  # projection shortcut
+                sc_in = residual_id
+                sc_stride = stride
+                if enc.avg_down and stride > 1:
+                    sc_in = g.add("avgpool2", [sc_in])
+                    sc_stride = 1
+                w, b = _fold_conv_bn(bp, bs, down_conv, down_bn)
+                residual_id = g.add(
+                    "conv", [sc_in], w=w, b=b, stride=sc_stride, groups=1, relu=False, pad="SAME"
+                )
+            x_id = g.add("add", [y, residual_id], relu=True)
+            block_index += 1
+        outputs.append(x_id)
+
+    if enc.layers is not None:
+        outputs = [outputs[i] for i in enc.layers]
+    return outputs
+
+
+def _build_fpn_graph(g: _Graph, dec: FPNDecoder, params, fm_ids: List[int]) -> List[int]:
+    n = len(fm_ids)
+    lateral = []
+    for i, fm in enumerate(fm_ids):
+        w, b = _conv_with_bias(params, f"Conv_{i}")
+        lateral.append(g.add("conv", [fm], w=w, b=b, stride=1, groups=1, relu=False, pad="SAME"))
+    outputs = [lateral[-1]]
+    pred_i = n
+    for index in range(n - 2, -1, -1):
+        up = g.add("upsample2", [outputs[-1]])
+        fused = g.add("add", [lateral[index], up], relu=False)
+        if dec.prediction_kernel > 0:
+            w, b = _conv_with_bias(params, f"Conv_{pred_i}")
+            pred_i += 1
+            fused = g.add("conv", [fused], w=w, b=b, stride=1, groups=1, relu=False, pad="SAME")
+        outputs.append(fused)
+    return outputs[::-1]
+
+
+def quantize_encoder_decoder_inference(
+    model: EncoderDecoderModel, variables, calibration_images, *, margin: float = 1.0
+) -> Callable:
+    """Build a fully-integer jitted inference forward for a trained
+    ``EncoderDecoderModel`` with a ResNet-family encoder (incl. SE /
+    ResNeXt / ResNet-D flavors), an ``FPNDecoder`` and a ``ResizeHead``.
+
+    Args:
+        model: the trained model's architecture config.
+        variables: its flax variables ({'params', 'batch_stats'}).
+        calibration_images: [N, H, W, 3] float array of representative
+            inputs for activation-range calibration.
+        margin: multiplier on calibrated ranges.
+
+    Returns:
+        ``forward(x) -> [B, H, W, num_classes] float32`` logits
+        approximating ``model.apply(variables, x)`` at int8 PTQ fidelity.
+    """
+    enc, dec, head = model.encoder, model.decoder, model.head
+    if not isinstance(enc, ResNetEncoder):
+        raise NotImplementedError(
+            "quantize_encoder_decoder_inference supports ResNetEncoder-family trunks; "
+            f"got {type(enc).__name__}"
+        )
+    if not isinstance(dec, FPNDecoder):
+        raise NotImplementedError(f"decoder must be FPNDecoder; got {type(dec).__name__}")
+    if str(getattr(dec.upsample_block, "value", dec.upsample_block)).lower() not in (
+        "bilinear", "upsampielayertype.bilinear",
+    ):
+        raise NotImplementedError("FPN upsample must be bilinear for the int8 path")
+    if not isinstance(head, ResizeHead):
+        raise NotImplementedError(f"head must be ResizeHead; got {type(head).__name__}")
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    g = _Graph()
+    input_id = g.add("input", [])
+    fm_ids = _build_resnet_graph(g, enc, params["encoder"], stats["encoder"], input_id)
+    fpn_ids = _build_fpn_graph(g, dec, params["decoder"], fm_ids)
+    head_index = dec.get_output_spec().get_index_of_largest_feature_map()
+    w, b = _conv_with_bias(params["head"], "Conv_0")
+    head_id = g.add("head", [fpn_ids[head_index]], w=w, b=b)
+
+    # ---- f32 calibration replay over the SAME graph ---------------------
+    x_cal = jnp.asarray(calibration_images, jnp.float32)
+    amax: Dict[int, np.ndarray] = {}
+
+    def f32_conv(x, node):
+        y = jax.lax.conv_general_dilated(
+            x,
+            jnp.asarray(node.attrs["w"], jnp.float32),
+            (node.attrs["stride"],) * 2,
+            node.attrs["pad"],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=node.attrs["groups"],
+        ) + jnp.asarray(node.attrs["b"], jnp.float32)[None, None, None, :]
+        if node.attrs["relu"]:
+            y = jax.nn.relu(y)
+        return y
+
+    vals: Dict[int, jnp.ndarray] = {input_id: x_cal}
+    for node in g.nodes:
+        if node.op == "input":
+            continue
+        if node.op == "conv":
+            y = f32_conv(vals[node.inputs[0]], node)
+        elif node.op == "maxpool3s2":
+            import flax.linen as nn
+
+            y = nn.max_pool(vals[node.inputs[0]], (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        elif node.op == "avgpool2":
+            import flax.linen as nn
+
+            y = nn.avg_pool(vals[node.inputs[0]], (2, 2), strides=(2, 2))
+        elif node.op == "se":
+            x = vals[node.inputs[0]]
+            pooled = x.mean(axis=(1, 2), keepdims=True)
+            h = jax.nn.relu(
+                jax.lax.conv_general_dilated(
+                    pooled, jnp.asarray(node.attrs["w1"], jnp.float32), (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) + jnp.asarray(node.attrs["b1"], jnp.float32)
+            )
+            gate = jax.nn.sigmoid(
+                jax.lax.conv_general_dilated(
+                    h, jnp.asarray(node.attrs["w2"], jnp.float32), (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) + jnp.asarray(node.attrs["b2"], jnp.float32)
+            )
+            y = x * gate
+        elif node.op == "add":
+            y = vals[node.inputs[0]] + vals[node.inputs[1]]
+            if node.attrs["relu"]:
+                y = jax.nn.relu(y)
+        elif node.op == "upsample2":
+            x = vals[node.inputs[0]]
+            wh = jnp.asarray(_linear_weights(x.shape[1], 2 * x.shape[1], True, np.float32))
+            ww = jnp.asarray(_linear_weights(x.shape[2], 2 * x.shape[2], True, np.float32))
+            y = jnp.einsum("nhwc,ow->nhoc", jnp.einsum("nhwc,oh->nowc", x, wh), ww)
+        elif node.op == "head":
+            y = jax.lax.conv_general_dilated(
+                vals[node.inputs[0]], jnp.asarray(node.attrs["w"], jnp.float32), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.asarray(node.attrs["b"], jnp.float32)[None, None, None, :]
+        else:  # pragma: no cover
+            raise AssertionError(node.op)
+        vals[node.id] = y
+        amax[node.id] = np.asarray(jnp.abs(y).max(axis=tuple(range(y.ndim - 1))), np.float64) * margin
+    cal_out = vals[head_id]  # kept for tests/debugging via closure
+    input_amax = np.asarray(jnp.abs(x_cal).max(axis=(0, 1, 2)), np.float64) * margin
+    del vals
+
+    # ---- scale propagation + integer constants --------------------------
+    sigma: Dict[int, np.ndarray] = {input_id: np.maximum(input_amax, 1e-12) / _QMAX}
+    consts: Dict[int, dict] = {}
+
+    def absorb_grouped(w_eff, sig_in, groups):
+        ci_pg = w_eff.shape[2]
+        co = w_eff.shape[3]
+        if groups == 1:
+            return w_eff * sig_in[None, None, :, None]
+        sig_grp = sig_in.reshape(groups, ci_pg)
+        per_out = np.empty((ci_pg, co))
+        co_pg = co // groups
+        for gi in range(groups):
+            per_out[:, gi * co_pg : (gi + 1) * co_pg] = sig_grp[gi][:, None]
+        return w_eff * per_out[None, None, :, :]
+
+    for node in g.nodes:
+        if node.op == "input":
+            continue
+        if node.op == "conv":
+            sig_in = sigma[node.inputs[0]]
+            w_abs = absorb_grouped(node.attrs["w"], sig_in, node.attrs["groups"])
+            qc, _ = _quantize_conv(w_abs, node.attrs["b"], amax[node.id])
+            consts[node.id] = {"qc": qc}
+            sigma[node.id] = qc.sigma_out
+        elif node.op in ("maxpool3s2", "avgpool2"):
+            sigma[node.id] = sigma[node.inputs[0]]
+        elif node.op == "se":
+            sig_in = sigma[node.inputs[0]]
+            consts[node.id] = {
+                "w1": jnp.asarray(node.attrs["w1"], jnp.float32),
+                "b1": jnp.asarray(node.attrs["b1"], jnp.float32),
+                "w2": jnp.asarray(node.attrs["w2"], jnp.float32),
+                "b2": jnp.asarray(node.attrs["b2"], jnp.float32),
+                "sig_in": jnp.asarray(sig_in, jnp.float32),
+            }
+            sigma[node.id] = sig_in
+        elif node.op == "add":
+            sig_a, sig_b = sigma[node.inputs[0]], sigma[node.inputs[1]]
+            sig_out = np.maximum(amax[node.id], 1e-12) / _QMAX
+            ma = np.clip(np.round(sig_a / sig_out * (1 << _ADD_SHIFT)), 0, 1 << 20)
+            mb = np.clip(np.round(sig_b / sig_out * (1 << _ADD_SHIFT)), 0, 1 << 20)
+            consts[node.id] = {
+                "ma": jnp.asarray(ma.astype(np.int32)),
+                "mb": jnp.asarray(mb.astype(np.int32)),
+            }
+            sigma[node.id] = sig_out
+        elif node.op == "upsample2":
+            sigma[node.id] = sigma[node.inputs[0]] * (128.0 / _QMAX) ** 2
+        elif node.op == "head":
+            sig_in = sigma[node.inputs[0]]
+            head_eff = node.attrs["w"] * sig_in[None, None, :, None]
+            sw = np.maximum(np.abs(head_eff).max(axis=(0, 1, 2)) / _QMAX, 1e-12)
+            consts[node.id] = {
+                "w_q": jnp.asarray(np.clip(np.round(head_eff / sw), -_QMAX, _QMAX).astype(np.int8)),
+                "sw": jnp.asarray(sw, jnp.float32),
+                "bias": jnp.asarray(node.attrs["b"], jnp.float32),
+            }
+
+    inv_sigma_in = jnp.asarray(1.0 / sigma[input_id], jnp.float32)
+    out_mode = head.interpolation_mode
+    out_align = head.interpolation_align_corners
+    output_name = head.output_name
+
+    # ---- jitted integer forward -----------------------------------------
+    @jax.jit
+    def forward(x):
+        in_h, in_w = x.shape[1], x.shape[2]
+        vals = {
+            input_id: jnp.clip(
+                jnp.round(x.astype(jnp.float32) * inv_sigma_in[None, None, None, :]),
+                -_QMAX, _QMAX,
+            ).astype(jnp.int8)
+        }
+        out = None
+        for node in g.nodes:
+            if node.op == "input":
+                continue
+            if node.op == "conv":
+                qc = consts[node.id]["qc"]
+                acc = jax.lax.conv_general_dilated(
+                    vals[node.inputs[0]], qc.w_q,
+                    (node.attrs["stride"],) * 2, node.attrs["pad"],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=node.attrs["groups"],
+                    preferred_element_type=jnp.int32,
+                ) + qc.b_q[None, None, None, :]
+                if node.attrs["relu"]:
+                    acc = jnp.maximum(acc, 0)
+                acc = jax.lax.shift_right_arithmetic(
+                    acc + qc.rnd[None, None, None, :], qc.shift[None, None, None, :]
+                )
+                y = jnp.clip(acc, -_QMAX, _QMAX).astype(jnp.int8)
+            elif node.op == "maxpool3s2":
+                y = jax.lax.reduce_window(
+                    vals[node.inputs[0]], jnp.int8(-128), jax.lax.max,
+                    (1, 3, 3, 1), (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)),
+                )
+            elif node.op == "avgpool2":
+                x4 = vals[node.inputs[0]].astype(jnp.int32)
+                s = x4[:, 0::2, 0::2] + x4[:, 0::2, 1::2] + x4[:, 1::2, 0::2] + x4[:, 1::2, 1::2]
+                y = jnp.clip(jax.lax.shift_right_arithmetic(s + 2, 2), -_QMAX, _QMAX).astype(jnp.int8)
+            elif node.op == "se":
+                c = consts[node.id]
+                x_q = vals[node.inputs[0]]
+                pooled = x_q.astype(jnp.float32).mean(axis=(1, 2), keepdims=True) * c["sig_in"]
+                h = jax.nn.relu(
+                    jax.lax.conv_general_dilated(
+                        pooled, c["w1"], (1, 1), "SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    ) + c["b1"]
+                )
+                gate = jax.nn.sigmoid(
+                    jax.lax.conv_general_dilated(
+                        h, c["w2"], (1, 1), "SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    ) + c["b2"]
+                )
+                gate_q = jnp.round(gate * (1 << _SE_SHIFT)).astype(jnp.int32)
+                acc = x_q.astype(jnp.int32) * gate_q
+                acc = jax.lax.shift_right_arithmetic(acc + (1 << (_SE_SHIFT - 1)), _SE_SHIFT)
+                y = jnp.clip(acc, -_QMAX, _QMAX).astype(jnp.int8)
+            elif node.op == "add":
+                c = consts[node.id]
+                acc = (
+                    vals[node.inputs[0]].astype(jnp.int32) * c["ma"][None, None, None, :]
+                    + vals[node.inputs[1]].astype(jnp.int32) * c["mb"][None, None, None, :]
+                )
+                if node.attrs["relu"]:
+                    acc = jnp.maximum(acc, 0)
+                acc = jax.lax.shift_right_arithmetic(acc + (1 << (_ADD_SHIFT - 1)), _ADD_SHIFT)
+                y = jnp.clip(acc, -_QMAX, _QMAX).astype(jnp.int8)
+            elif node.op == "upsample2":
+                x_q = vals[node.inputs[0]]
+                mh, mw, _ = _q_upsample_matrices(
+                    x_q.shape[1], x_q.shape[2], 2 * x_q.shape[1], 2 * x_q.shape[2]
+                )
+                y = _q_upsample(x_q, mh, mw)
+            elif node.op == "head":
+                c = consts[node.id]
+                acc = jax.lax.conv_general_dilated(
+                    vals[node.inputs[0]], c["w_q"], (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                )
+                logits = acc.astype(jnp.float32) * c["sw"][None, None, None, :] + c["bias"][None, None, None, :]
+                wh = jnp.asarray(_linear_weights(logits.shape[1], in_h, out_align, np.float32))
+                ww = jnp.asarray(_linear_weights(logits.shape[2], in_w, out_align, np.float32))
+                out = jnp.einsum("nhwc,ow->nhoc", jnp.einsum("nhwc,oh->nowc", logits, wh), ww)
+                y = out
+            else:  # pragma: no cover
+                raise AssertionError(node.op)
+            vals[node.id] = y
+        if output_name is not None:
+            return {output_name: out}
+        return out
+
+    forward._calibration_output = cal_out  # exposed for tests
+    return forward
