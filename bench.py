@@ -142,6 +142,30 @@ def main():
         "baseline_kind": "estimated_h100_from_measured_cpu_run",
     }
 
+    # MFU accounting (VERDICT r3 #3): model FLOPs from XLA's own cost
+    # analysis of one tile-view forward, times view count, over wall time.
+    # v5e bf16 peak = 197 TFLOP/s.  Tracks whether MP/s gains come from
+    # doing less work or doing it faster.
+    try:
+        from pytorch_toolbelt_tpu.inference import ImageSlicer
+
+        tile_flops = (
+            jax.jit(forward)
+            .lower(jax.ShapeDtypeStruct((1, TILE_SIZE, TILE_SIZE, 3), jnp.float32))
+            .compile()
+            .cost_analysis()["flops"]
+        )
+        n_tiles = len(ImageSlicer((IMAGE_SIZE, IMAGE_SIZE), TILE_SIZE, TILE_STEP).crops)
+        PEAK_BF16 = 197e12
+        dist_tflops = n_tiles * 2 * tile_flops / dt / 1e12  # 2 views/tile
+        full_tflops = n_tiles * 8 * tile_flops / full_dt / 1e12  # 8 views/tile
+        result["achieved_tflops"] = round(dist_tflops, 2)
+        result["pct_peak_bf16"] = round(100 * dist_tflops * 1e12 / PEAK_BF16, 1)
+        result["full_d4_achieved_tflops"] = round(full_tflops, 2)
+        result["full_d4_pct_peak_bf16"] = round(100 * full_tflops * 1e12 / PEAK_BF16, 1)
+    except Exception as exc:  # pragma: no cover - cost analysis is best-effort
+        result["mfu_error"] = f"{type(exc).__name__}: {exc}"[:120]
+
     # int8 PTQ variant of the same pipeline (zoo/quantized_unet.py): fully
     # integer network, calibrated on tiles of the bench image itself.
     # Reported as SEPARATE fields — `value` stays the bf16 number so the

@@ -392,20 +392,28 @@ from functools import lru_cache
 
 
 def _stack_batches(coords_yx_np: np.ndarray, batch_size: int):
-    """Split a [N, 2] (row, col) coord list into stacked full batches
-    [num_batches, B, 2] plus an EXACT-size remainder batch [N % B, 2]
-    (empty array when B divides N).
+    """Split a [N, 2] (row, col) coord list into BALANCED batches: stacked
+    main batches [num_batches, B_eff, 2] plus at most one remainder batch
+    [r, 2] with r < B_eff.
 
-    No padding tiles: a padded slot still runs the full model on garbage
-    data, and at the bench config the four d4 parity groups padded to a
-    batch-32 multiple waste ~15% of all model compute (416 slots for 361
-    tiles).  The remainder runs as one separate (smaller) XLA program —
-    one extra compile per distinct remainder size, zero wasted FLOPs."""
+    Two rules, both measured on the bench config (benchmarks/RESULTS.md):
+
+    * No padding tiles — a padded slot still runs the full model on
+      garbage data, and the four d4 parity groups padded to a batch-32
+      multiple wasted ~15% of all model compute (416 slots for 361 tiles).
+    * Balanced batch size — ``B_eff = ceil(N / ceil(N / B))``, so a group
+      of 100 at B=32 runs 4 x 25 instead of 3 x 32 plus a straggler batch
+      of 4 whose tiny program runs at poor MXU efficiency.  The remainder
+      program (when N doesn't divide) is within one tile of B_eff."""
     coords = np.asarray(coords_yx_np, dtype=np.int32)
     n_tiles = len(coords)
-    num_batches = n_tiles // batch_size
-    main = coords[: num_batches * batch_size].reshape(num_batches, batch_size, 2)
-    rem = coords[num_batches * batch_size :]
+    if n_tiles == 0:
+        return jnp.asarray(coords.reshape(0, max(batch_size, 1), 2)), jnp.asarray(coords)
+    total_batches = -(-n_tiles // batch_size)
+    b_eff = -(-n_tiles // total_batches)
+    num_full = n_tiles // b_eff
+    main = coords[: num_full * b_eff].reshape(num_full, b_eff, 2)
+    rem = coords[num_full * b_eff :]
     return jnp.asarray(main), jnp.asarray(rem)
 
 

@@ -36,6 +36,15 @@ class DiceLoss:
             object.__setattr__(self, "classes", tuple(self.classes))
 
     def __call__(self, y_pred: jnp.ndarray, y_true: jnp.ndarray) -> jnp.ndarray:
+        from . import fused
+
+        if self.mode == MULTICLASS_MODE and self.from_logits and fused.ENABLED:
+            # analytic custom-VJP fast path (identical value/grad; ~4x less
+            # HBM traffic fwd+bwd — benchmarks/RESULTS.md loss roofline)
+            return fused.fused_multiclass_dice(
+                y_pred, y_true, float(self.smooth), float(self.eps),
+                bool(self.log_loss), self.ignore_index, self.classes,
+            )
         if self.from_logits:
             # log-exp route keeps gradients alive at extreme logits
             # (reference dice.py:69-75)

@@ -20,6 +20,7 @@ from typing import Callable, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "binary_cross_entropy_with_logits",
@@ -142,6 +143,21 @@ def softmax_focal_loss_with_logits(
         output: [B, *spatial, C] logits (classes LAST).
         target: [B, *spatial] integer labels.
     """
+    from . import fused
+
+    if (
+        fused.ENABLED
+        and not normalized
+        and reduced_threshold is None
+        and reduction in ("mean", "sum")
+        and not isinstance(class_weights, jax.core.Tracer)
+    ):
+        # analytic custom-VJP fast path: ~4x less HBM traffic in fwd+bwd
+        # (benchmarks/RESULTS.md loss roofline); identical value/grad.
+        cw = None if class_weights is None else tuple(np.asarray(class_weights).reshape(-1).tolist())
+        return fused.fused_softmax_focal(
+            output, target, float(gamma), cw, int(ignore_index), reduction
+        )
     output = output.astype(jnp.float32)
     num_classes = output.shape[-1]
 

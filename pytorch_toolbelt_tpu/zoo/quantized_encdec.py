@@ -302,6 +302,13 @@ def quantize_encoder_decoder_inference(
                 vals[node.inputs[0]], jnp.asarray(node.attrs["w"], jnp.float32), (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + jnp.asarray(node.attrs["b"], jnp.float32)[None, None, None, :]
+            wh = jnp.asarray(
+                _linear_weights(y.shape[1], x_cal.shape[1], head.interpolation_align_corners, np.float32)
+            )
+            ww = jnp.asarray(
+                _linear_weights(y.shape[2], x_cal.shape[2], head.interpolation_align_corners, np.float32)
+            )
+            y = jnp.einsum("nhwc,ow->nhoc", jnp.einsum("nhwc,oh->nowc", y, wh), ww)
         else:  # pragma: no cover
             raise AssertionError(node.op)
         vals[node.id] = y

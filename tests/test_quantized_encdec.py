@@ -1,0 +1,110 @@
+"""int8 PTQ for EncoderDecoderModel pipelines (zoo/quantized_encdec.py).
+
+Two-level oracle, mirroring tests/test_quantized_unet.py:
+1. the f32 calibration replay must match ``model.apply`` exactly (proves
+   the graph IR reproduces the architecture: block wiring, shortcuts,
+   SE gates, FPN top-down, head resize);
+2. the int8 forward must approximate the f32 model within PTQ fidelity
+   (rel-RMS of logits).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_toolbelt_tpu.zoo import EncoderDecoderModel, FPNDecoder, ResizeHead
+from pytorch_toolbelt_tpu.zoo.encoders.resnet import ResNetEncoder
+from pytorch_toolbelt_tpu.zoo.quantized_encdec import quantize_encoder_decoder_inference
+
+
+def _build(encoder):
+    decoder = FPNDecoder(input_spec=encoder.get_output_spec(), out_channels=16)
+    head = ResizeHead(input_spec=decoder.get_output_spec(), num_classes=5)
+    return EncoderDecoderModel(encoder=encoder, decoder=decoder, head=head)
+
+
+def _trained_like_variables(model, x, seed=0):
+    """Init then perturb batch stats so BN folding is non-trivial."""
+    variables = model.init(jax.random.PRNGKey(seed), x)
+    # run a few "training" steps' worth of stat updates so running stats
+    # differ from init (mean 0 / var 1)
+    _, updates = model.apply(variables, x, training=True, mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(1)})
+    return {"params": variables["params"], "batch_stats": updates["batch_stats"]}
+
+
+ENCODERS = {
+    "basic": ResNetEncoder(stage_blocks=(1, 1, 1, 1), bottleneck=False),
+    "bottleneck_se_resnext": ResNetEncoder(
+        stage_blocks=(1, 1, 1, 1), bottleneck=True, use_se=True, groups=2, base_width=4
+    ),
+    "resnet_d": ResNetEncoder(
+        stage_blocks=(1, 1, 1, 1), bottleneck=True, deep_stem=True, avg_down=True
+    ),
+}
+
+
+@pytest.mark.parametrize("name", list(ENCODERS))
+def test_calibration_replay_matches_apply(name):
+    model = _build(ENCODERS[name])
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32))
+    variables = _trained_like_variables(model, x)
+
+    forward = quantize_encoder_decoder_inference(model, variables, x)
+    replay = np.asarray(forward._calibration_output)
+    expected = np.asarray(model.apply(variables, x))
+    np.testing.assert_allclose(replay, expected, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("name", list(ENCODERS))
+def test_int8_forward_approximates_f32(name):
+    model = _build(ENCODERS[name])
+    rng = np.random.RandomState(1)
+    x_cal = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    variables = _trained_like_variables(model, x_cal, seed=2)
+
+    forward = quantize_encoder_decoder_inference(model, variables, x_cal)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    q = np.asarray(forward(x))
+    f = np.asarray(model.apply(variables, x))
+    assert q.shape == f.shape == (2, 64, 64, 5)
+    rel_rms = float(np.sqrt(np.mean((q - f) ** 2)) / (np.sqrt(np.mean(f**2)) + 1e-12))
+    # int8 PTQ fidelity: the UNet path measures ~2.6% on random init; the
+    # deeper trunk accumulates more requant noise — bound it at 12%
+    assert rel_rms < 0.12, rel_rms
+    assert np.all(np.isfinite(q))
+
+
+def test_int8_forward_other_size_and_batch():
+    """Inference size/batch decoupled from calibration (jit retraces)."""
+    model = _build(ENCODERS["basic"])
+    rng = np.random.RandomState(3)
+    x_cal = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    variables = _trained_like_variables(model, x_cal, seed=3)
+    forward = quantize_encoder_decoder_inference(model, variables, x_cal)
+
+    x = jnp.asarray(rng.rand(1, 96, 96, 3).astype(np.float32))
+    q = np.asarray(forward(x))
+    f = np.asarray(model.apply(variables, x))
+    assert q.shape == f.shape == (1, 96, 96, 5)
+    rel_rms = float(np.sqrt(np.mean((q - f) ** 2)) / (np.sqrt(np.mean(f**2)) + 1e-12))
+    assert rel_rms < 0.12, rel_rms
+
+
+def test_rejects_unsupported_structures():
+    from pytorch_toolbelt_tpu.zoo import UNetSegmentationModel
+    from pytorch_toolbelt_tpu.zoo.decoders.unet import UNetDecoder
+    from pytorch_toolbelt_tpu.zoo.encoders.unet import UnetEncoder
+
+    enc = UnetEncoder(out_channels=8, num_layers=2)
+    model = EncoderDecoderModel(
+        encoder=enc,
+        decoder=UNetDecoder(input_spec=enc.get_output_spec(), out_channels=(8,)),
+        head=ResizeHead(input_spec=enc.get_output_spec(), num_classes=2),
+    )
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(NotImplementedError):
+        quantize_encoder_decoder_inference(model, variables, x)
