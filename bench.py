@@ -10,7 +10,8 @@ The d4 TTA uses mode='distributed' (inference/tiles.py): at the config's
 disjoint PAIR of d4 views, so every interior pixel still averages all 8 d4
 views — blended by the pyramid window — at 1/4 the model compute of running
 all 8 views on all tiles.  Full-d4 numbers are reported alongside in
-benchmarks/RESULTS.md (4.3 MP/s single chip; distributed: 13+ MP/s).
+benchmarks/RESULTS.md (4.4 MP/s single chip; distributed: 17+ MP/s bf16,
+22+ MP/s int8).
 
 Prints ONE JSON line:
   {"metric": ..., "value": MP/s, "unit": "MP/s", "vs_baseline": ...}
@@ -49,8 +50,9 @@ ANCHOR_H100_PYTORCH_MPS = 8.0  # see module docstring / benchmarks/RESULTS.md
 IMAGE_SIZE = 5000
 TILE_SIZE = 512
 TILE_STEP = 256
-BATCH = 32
-FULL_D4_BATCH = 16  # batch sweep in benchmarks/RESULTS.md; 32 OOMs in full mode
+BATCH = 64  # round-4 sweep (balanced no-padding batches): 17.3 MP/s at 64 vs 14.1 at 32
+INT8_BATCH = 64  # int8 sweep peak (22.9 MP/s; 100/128 regress to 21.8)
+FULL_D4_BATCH = 16  # 24+ OOMs in full mode (184-tile-batch decoder concat)
 
 
 def main():
@@ -187,7 +189,7 @@ def main():
         def run_q(img):
             return tiled_apply_d4_tta(
                 q_forward, img, tile_size=TILE_SIZE, tile_step=TILE_STEP,
-                weight="pyramid", batch_size=2 * BATCH, mode="distributed",
+                weight="pyramid", batch_size=INT8_BATCH, mode="distributed",
             )
 
         out = run_q(image)
