@@ -204,6 +204,36 @@ def main():
         result["int8_mps"] = round(megapixels / q_dt, 2)
         result["int8_vs_baseline"] = round(megapixels / q_dt / ANCHOR_H100_PYTORCH_MPS, 3)
         result["int8_forward_rel_rms"] = round(rel_rms, 4)
+
+        # s2d variant: stride-1 level as dense 128-ch convs — int8 narrow
+        # convs are 3.3x lane-starved vs their s2d form (int8_s2d_probe.py)
+        from pytorch_toolbelt_tpu.zoo.quantized_unet import quantize_unet_inference_s2d
+
+        qs_forward = quantize_unet_inference_s2d(model, variables, cal)
+        qs_out = qs_forward(cal)
+        result["int8_s2d_forward_rel_rms"] = round(
+            float(jnp.sqrt(jnp.mean((qs_out - ref_out) ** 2)) / jnp.sqrt(jnp.mean(ref_out**2))), 4
+        )
+
+        def run_qs(img):
+            return tiled_apply_d4_tta(
+                qs_forward, img, tile_size=TILE_SIZE, tile_step=TILE_STEP,
+                weight="pyramid", batch_size=INT8_BATCH, mode="distributed",
+            )
+
+        out = run_qs(image)
+        image = perturb(image, out)
+        float(out[0, 0, 0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = run_qs(image)
+            image = perturb(image, out)
+        float(out[0, 0, 0])
+        qs_dt = (time.perf_counter() - t0) / iters
+        result["int8_s2d_mps"] = round(megapixels / qs_dt, 2)
+        result["int8_s2d_vs_baseline"] = round(
+            megapixels / qs_dt / ANCHOR_H100_PYTORCH_MPS, 3
+        )
     except Exception as exc:  # pragma: no cover - bench must never die on the extra path
         result["int8_error"] = f"{type(exc).__name__}: {exc}"[:200]
 

@@ -37,6 +37,7 @@ def _trained_like_variables(model, x, seed=0):
 
 ENCODERS = {
     "basic": ResNetEncoder(stage_blocks=(1, 1, 1, 1), bottleneck=False),
+    "basic_se": ResNetEncoder(stage_blocks=(1, 1, 1, 1), bottleneck=False, use_se=True),
     "bottleneck_se_resnext": ResNetEncoder(
         stage_blocks=(1, 1, 1, 1), bottleneck=True, use_se=True, groups=2, base_width=4
     ),

@@ -90,3 +90,41 @@ def test_quantized_output_name_and_rejects_unsupported():
     bad = UNetSegmentationModel(num_classes=1, activation="silu")
     with pytest.raises(NotImplementedError):
         quantize_unet_inference(bad, {"params": {}, "batch_stats": {}}, cal)
+
+
+def test_quantized_s2d_matches_f32_within_ptq_tolerance():
+    """The s2d int8 variant must approximate the f32 model as well as the
+    NHWC int8 network (same calibration, same quantization rules — only
+    the stride-1 level's representation differs)."""
+    from pytorch_toolbelt_tpu.zoo.quantized_unet import quantize_unet_inference_s2d
+
+    model = UNetSegmentationModel(num_classes=1, encoder_channels=32, growth_factor=2)
+    rng = np.random.RandomState(0)
+    x_cal = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x_cal)
+
+    q = quantize_unet_inference(model, variables, x_cal)
+    q_s2d = quantize_unet_inference_s2d(model, variables, x_cal)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    want = model.apply(variables, x)
+    got_nhwc = q(x)
+    got_s2d = q_s2d(x)
+    assert got_s2d.shape == want.shape
+    assert _rel_rms(got_s2d, want) < 0.08
+    # the two int8 networks share calibration: they must agree closely
+    assert _rel_rms(got_s2d, got_nhwc) < 0.08
+
+
+def test_quantized_s2d_other_sizes_and_layers():
+    from pytorch_toolbelt_tpu.zoo.quantized_unet import quantize_unet_inference_s2d
+
+    model = UNetSegmentationModel(num_classes=3, encoder_channels=16, num_layers=3)
+    rng = np.random.RandomState(1)
+    x_cal = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(1), x_cal)
+    q_s2d = quantize_unet_inference_s2d(model, variables, x_cal)
+    x = jnp.asarray(rng.rand(1, 96, 96, 3).astype(np.float32))
+    got = q_s2d(x)
+    want = model.apply(variables, x)
+    assert got.shape == want.shape == (1, 96, 96, 3)
+    assert _rel_rms(got, want) < 0.08
