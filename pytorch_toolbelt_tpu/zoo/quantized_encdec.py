@@ -7,8 +7,14 @@ Same TPU-native design rules as the UNet path (see quantized_unet.py for
 the measurements that dictated them): the network stays in the integer
 domain end to end, weights are per-output-channel symmetric int8 with the
 producer's activation scales absorbed exactly into the consumer's weights,
-and conv epilogues are integer-only shift requants.  Three structures the
-UNet does not have get explicit treatment:
+and conv epilogues are integer-only requants.  Unlike the UNet path (8
+convs), this trunk chains ~50 convs, so requant round-off compounds;
+the default epilogue is therefore an int32 fixed-point multiply+shift
+(``requant="mul"``, exact activation scales, full int8 range per layer)
+rather than the UNet's power-of-two shift-only form (``requant="shift"``,
+up to one bit of range lost per layer) — measured fidelity and speed for
+both in benchmarks/RESULTS.md.  Three structures the UNet does not have
+get explicit treatment:
 
 * **Residual adds** (BasicBlock/Bottleneck shortcuts, FPN top-down sums):
   the two addends carry unrelated per-channel scales, so shift-only
@@ -43,7 +49,14 @@ from .decoders.fpn import FPNDecoder
 from .encoders.resnet import ResNetEncoder
 from .heads.resize import ResizeHead
 from .models import EncoderDecoderModel
-from .quantized_unet import _QMAX, _q_upsample, _q_upsample_matrices, _quantize_conv
+from .quantized_unet import (
+    _QMAX,
+    _q_upsample,
+    _q_upsample_matrices,
+    _quantize_conv,
+    _quantize_conv_mul,
+    _requant_mul,
+)
 
 __all__ = ["quantize_encoder_decoder_inference"]
 
@@ -198,7 +211,13 @@ def _build_fpn_graph(g: _Graph, dec: FPNDecoder, params, fm_ids: List[int]) -> L
 
 
 def quantize_encoder_decoder_inference(
-    model: EncoderDecoderModel, variables, calibration_images, *, margin: float = 1.0
+    model: EncoderDecoderModel,
+    variables,
+    calibration_images,
+    *,
+    margin: float = 1.0,
+    requant: str = "mul",
+    bias_correction: bool = True,
 ) -> Callable:
     """Build a fully-integer jitted inference forward for a trained
     ``EncoderDecoderModel`` with a ResNet-family encoder (incl. SE /
@@ -210,6 +229,18 @@ def quantize_encoder_decoder_inference(
         calibration_images: [N, H, W, 3] float array of representative
             inputs for activation-range calibration.
         margin: multiplier on calibrated ranges.
+        requant: ``"mul"`` (default) uses an int32 fixed-point
+            multiply+shift requant per conv — exact activation scales, full
+            int8 range at every layer; ``"shift"`` uses the power-of-two
+            shift-only epilogue of the UNet path (up to one bit of range
+            lost per layer, which compounds over this 50-conv trunk).
+            Both are integer-only in the hot loop.
+        bias_correction: when True (default), a second calibration pass runs
+            the int8 graph node by node alongside the retained f32
+            activations and absorbs each conv's per-channel mean quantization
+            error into its integer bias (the head's into its f32 bias) —
+            sequential PTQ bias correction.  Removes the systematic
+            component of requant noise at zero inference cost.
 
     Returns:
         ``forward(x) -> [B, H, W, num_classes] float32`` logits
@@ -315,11 +346,15 @@ def quantize_encoder_decoder_inference(
         amax[node.id] = np.asarray(jnp.abs(y).max(axis=tuple(range(y.ndim - 1))), np.float64) * margin
     cal_out = vals[head_id]  # kept for tests/debugging via closure
     input_amax = np.asarray(jnp.abs(x_cal).max(axis=(0, 1, 2)), np.float64) * margin
-    del vals
+    if not bias_correction:
+        del vals
 
     # ---- scale propagation + integer constants --------------------------
     sigma: Dict[int, np.ndarray] = {input_id: np.maximum(input_amax, 1e-12) / _QMAX}
     consts: Dict[int, dict] = {}
+    inv_sigma_in = jnp.asarray(1.0 / sigma[input_id], jnp.float32)
+    out_align = head.interpolation_align_corners
+    output_name = head.output_name
 
     def absorb_grouped(w_eff, sig_in, groups):
         ci_pg = w_eff.shape[2]
@@ -333,16 +368,146 @@ def quantize_encoder_decoder_inference(
             per_out[:, gi * co_pg : (gi + 1) * co_pg] = sig_grp[gi][:, None]
         return w_eff * per_out[None, None, :, :]
 
+    # ---- shared int8 node executor ---------------------------------------
+    # Runs one graph node in the integer domain given the consts built so
+    # far; used EAGERLY on the calibration batch (bias correction) and
+    # TRACED under jit (the inference forward) — one implementation, no
+    # divergence between the calibration replay and the deployed program.
+
+    def quantize_input(x):
+        return jnp.clip(
+            jnp.round(x.astype(jnp.float32) * inv_sigma_in[None, None, None, :]),
+            -_QMAX, _QMAX,
+        ).astype(jnp.int8)
+
+    def conv_acc(node, x_q):
+        """Raw int32 conv accumulator WITHOUT bias (reused across the
+        bias-correction re-epilogue)."""
+        qc = consts[node.id]["qc"]
+        return jax.lax.conv_general_dilated(
+            x_q, qc.w_q,
+            (node.attrs["stride"],) * 2, node.attrs["pad"],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=node.attrs["groups"],
+            preferred_element_type=jnp.int32,
+        )
+
+    def conv_epilogue(node, acc):
+        qc = consts[node.id]["qc"]
+        acc = acc + qc.b_q[None, None, None, :]
+        if node.attrs["relu"]:
+            acc = jnp.maximum(acc, 0)
+        if requant == "mul":
+            return _requant_mul(acc, qc)
+        acc = jax.lax.shift_right_arithmetic(
+            acc + qc.rnd[None, None, None, :], qc.shift[None, None, None, :]
+        )
+        return jnp.clip(acc, -_QMAX, _QMAX).astype(jnp.int8)
+
+    def exec_node(node, vals_q, resize_hw):
+        if node.op == "conv":
+            return conv_epilogue(node, conv_acc(node, vals_q[node.inputs[0]]))
+        if node.op == "maxpool3s2":
+            return jax.lax.reduce_window(
+                vals_q[node.inputs[0]], jnp.int8(-128), jax.lax.max,
+                (1, 3, 3, 1), (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)),
+            )
+        if node.op == "avgpool2":
+            x4 = vals_q[node.inputs[0]].astype(jnp.int32)
+            s = x4[:, 0::2, 0::2] + x4[:, 0::2, 1::2] + x4[:, 1::2, 0::2] + x4[:, 1::2, 1::2]
+            return jnp.clip(jax.lax.shift_right_arithmetic(s + 2, 2), -_QMAX, _QMAX).astype(jnp.int8)
+        if node.op == "se":
+            c = consts[node.id]
+            x_q = vals_q[node.inputs[0]]
+            pooled = x_q.astype(jnp.float32).mean(axis=(1, 2), keepdims=True) * c["sig_in"]
+            h = jax.nn.relu(
+                jax.lax.conv_general_dilated(
+                    pooled, c["w1"], (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) + c["b1"]
+            )
+            gate = jax.nn.sigmoid(
+                jax.lax.conv_general_dilated(
+                    h, c["w2"], (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) + c["b2"]
+            )
+            gate_q = jnp.round(gate * (1 << _SE_SHIFT)).astype(jnp.int32)
+            acc = x_q.astype(jnp.int32) * gate_q
+            acc = jax.lax.shift_right_arithmetic(acc + (1 << (_SE_SHIFT - 1)), _SE_SHIFT)
+            return jnp.clip(acc, -_QMAX, _QMAX).astype(jnp.int8)
+        if node.op == "add":
+            c = consts[node.id]
+            acc = (
+                vals_q[node.inputs[0]].astype(jnp.int32) * c["ma"][None, None, None, :]
+                + vals_q[node.inputs[1]].astype(jnp.int32) * c["mb"][None, None, None, :]
+            )
+            if node.attrs["relu"]:
+                acc = jnp.maximum(acc, 0)
+            acc = jax.lax.shift_right_arithmetic(acc + (1 << (_ADD_SHIFT - 1)), _ADD_SHIFT)
+            return jnp.clip(acc, -_QMAX, _QMAX).astype(jnp.int8)
+        if node.op == "upsample2":
+            x_q = vals_q[node.inputs[0]]
+            mh, mw, _ = _q_upsample_matrices(
+                x_q.shape[1], x_q.shape[2], 2 * x_q.shape[1], 2 * x_q.shape[2]
+            )
+            return _q_upsample(x_q, mh, mw)
+        if node.op == "head":
+            c = consts[node.id]
+            acc = jax.lax.conv_general_dilated(
+                vals_q[node.inputs[0]], c["w_q"], (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            logits = (
+                acc.astype(jnp.float32) * c["sw"][None, None, None, :]
+                + c["bias"][None, None, None, :]
+            )
+            wh = jnp.asarray(_linear_weights(logits.shape[1], resize_hw[0], out_align, np.float32))
+            ww = jnp.asarray(_linear_weights(logits.shape[2], resize_hw[1], out_align, np.float32))
+            return jnp.einsum("nhwc,ow->nhoc", jnp.einsum("nhwc,oh->nowc", logits, wh), ww)
+        raise AssertionError(node.op)  # pragma: no cover
+
+    # ---- constants builder (+ optional sequential bias correction) ------
+    # vals_q carries the int8 calibration activations through the graph so
+    # each conv's per-channel mean error vs the retained f32 activations can
+    # be absorbed into its integer bias BEFORE its consumers are calibrated.
+    vals_q: Optional[Dict[int, jnp.ndarray]] = (
+        {input_id: quantize_input(x_cal)} if bias_correction else None
+    )
+    cal_hw = (int(x_cal.shape[1]), int(x_cal.shape[2]))
+
     for node in g.nodes:
         if node.op == "input":
             continue
         if node.op == "conv":
             sig_in = sigma[node.inputs[0]]
             w_abs = absorb_grouped(node.attrs["w"], sig_in, node.attrs["groups"])
-            qc, _ = _quantize_conv(w_abs, node.attrs["b"], amax[node.id])
+            if requant == "mul":
+                qc = _quantize_conv_mul(w_abs, node.attrs["b"], amax[node.id])
+            elif requant == "shift":
+                qc, _ = _quantize_conv(w_abs, node.attrs["b"], amax[node.id])
+            else:
+                raise ValueError(f"requant must be 'mul' or 'shift'; got {requant!r}")
             consts[node.id] = {"qc": qc}
             sigma[node.id] = qc.sigma_out
-        elif node.op in ("maxpool3s2", "avgpool2"):
+            if bias_correction:
+                sw = np.maximum(np.abs(w_abs).max(axis=(0, 1, 2)) / _QMAX, 1e-12)
+                acc = conv_acc(node, vals_q[node.inputs[0]])
+                q0 = conv_epilogue(node, acc)
+                axes = (0, 1, 2)
+                err = np.asarray(jnp.mean(vals[node.id], axes), np.float64) - (
+                    qc.sigma_out * np.asarray(jnp.mean(q0.astype(jnp.float32), axes), np.float64)
+                )
+                delta = np.round(err / sw)
+                b_new = (
+                    np.asarray(qc.b_q, np.int64) + delta.astype(np.int64)
+                ).clip(-(2**31), 2**31 - 1).astype(np.int32)
+                qc = qc._replace(b_q=jnp.asarray(b_new))
+                consts[node.id] = {"qc": qc}
+                vals_q[node.id] = conv_epilogue(node, acc)
+            continue
+        if node.op in ("maxpool3s2", "avgpool2"):
             sigma[node.id] = sigma[node.inputs[0]]
         elif node.op == "se":
             sig_in = sigma[node.inputs[0]]
@@ -375,101 +540,33 @@ def quantize_encoder_decoder_inference(
                 "sw": jnp.asarray(sw, jnp.float32),
                 "bias": jnp.asarray(node.attrs["b"], jnp.float32),
             }
+            if bias_correction:
+                # the output resize is linear with per-pixel weights summing
+                # to 1, so a constant per-channel shift BEFORE the resize
+                # equals the same shift after it — correct against the final
+                # f32 logits directly.
+                q0 = exec_node(node, vals_q, cal_hw)
+                err = jnp.mean(vals[node.id], (0, 1, 2)) - jnp.mean(q0, (0, 1, 2))
+                consts[node.id]["bias"] = consts[node.id]["bias"] + err.astype(jnp.float32)
+        if bias_correction and node.op != "head":
+            vals_q[node.id] = exec_node(node, vals_q, cal_hw)
 
-    inv_sigma_in = jnp.asarray(1.0 / sigma[input_id], jnp.float32)
-    out_mode = head.interpolation_mode
-    out_align = head.interpolation_align_corners
-    output_name = head.output_name
+    if bias_correction:
+        del vals, vals_q
 
     # ---- jitted integer forward -----------------------------------------
     @jax.jit
     def forward(x):
-        in_h, in_w = x.shape[1], x.shape[2]
-        vals = {
-            input_id: jnp.clip(
-                jnp.round(x.astype(jnp.float32) * inv_sigma_in[None, None, None, :]),
-                -_QMAX, _QMAX,
-            ).astype(jnp.int8)
-        }
+        resize_hw = (x.shape[1], x.shape[2])
+        vals_fw = {input_id: quantize_input(x)}
         out = None
         for node in g.nodes:
             if node.op == "input":
                 continue
-            if node.op == "conv":
-                qc = consts[node.id]["qc"]
-                acc = jax.lax.conv_general_dilated(
-                    vals[node.inputs[0]], qc.w_q,
-                    (node.attrs["stride"],) * 2, node.attrs["pad"],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    feature_group_count=node.attrs["groups"],
-                    preferred_element_type=jnp.int32,
-                ) + qc.b_q[None, None, None, :]
-                if node.attrs["relu"]:
-                    acc = jnp.maximum(acc, 0)
-                acc = jax.lax.shift_right_arithmetic(
-                    acc + qc.rnd[None, None, None, :], qc.shift[None, None, None, :]
-                )
-                y = jnp.clip(acc, -_QMAX, _QMAX).astype(jnp.int8)
-            elif node.op == "maxpool3s2":
-                y = jax.lax.reduce_window(
-                    vals[node.inputs[0]], jnp.int8(-128), jax.lax.max,
-                    (1, 3, 3, 1), (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)),
-                )
-            elif node.op == "avgpool2":
-                x4 = vals[node.inputs[0]].astype(jnp.int32)
-                s = x4[:, 0::2, 0::2] + x4[:, 0::2, 1::2] + x4[:, 1::2, 0::2] + x4[:, 1::2, 1::2]
-                y = jnp.clip(jax.lax.shift_right_arithmetic(s + 2, 2), -_QMAX, _QMAX).astype(jnp.int8)
-            elif node.op == "se":
-                c = consts[node.id]
-                x_q = vals[node.inputs[0]]
-                pooled = x_q.astype(jnp.float32).mean(axis=(1, 2), keepdims=True) * c["sig_in"]
-                h = jax.nn.relu(
-                    jax.lax.conv_general_dilated(
-                        pooled, c["w1"], (1, 1), "SAME",
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    ) + c["b1"]
-                )
-                gate = jax.nn.sigmoid(
-                    jax.lax.conv_general_dilated(
-                        h, c["w2"], (1, 1), "SAME",
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    ) + c["b2"]
-                )
-                gate_q = jnp.round(gate * (1 << _SE_SHIFT)).astype(jnp.int32)
-                acc = x_q.astype(jnp.int32) * gate_q
-                acc = jax.lax.shift_right_arithmetic(acc + (1 << (_SE_SHIFT - 1)), _SE_SHIFT)
-                y = jnp.clip(acc, -_QMAX, _QMAX).astype(jnp.int8)
-            elif node.op == "add":
-                c = consts[node.id]
-                acc = (
-                    vals[node.inputs[0]].astype(jnp.int32) * c["ma"][None, None, None, :]
-                    + vals[node.inputs[1]].astype(jnp.int32) * c["mb"][None, None, None, :]
-                )
-                if node.attrs["relu"]:
-                    acc = jnp.maximum(acc, 0)
-                acc = jax.lax.shift_right_arithmetic(acc + (1 << (_ADD_SHIFT - 1)), _ADD_SHIFT)
-                y = jnp.clip(acc, -_QMAX, _QMAX).astype(jnp.int8)
-            elif node.op == "upsample2":
-                x_q = vals[node.inputs[0]]
-                mh, mw, _ = _q_upsample_matrices(
-                    x_q.shape[1], x_q.shape[2], 2 * x_q.shape[1], 2 * x_q.shape[2]
-                )
-                y = _q_upsample(x_q, mh, mw)
-            elif node.op == "head":
-                c = consts[node.id]
-                acc = jax.lax.conv_general_dilated(
-                    vals[node.inputs[0]], c["w_q"], (1, 1), "SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32,
-                )
-                logits = acc.astype(jnp.float32) * c["sw"][None, None, None, :] + c["bias"][None, None, None, :]
-                wh = jnp.asarray(_linear_weights(logits.shape[1], in_h, out_align, np.float32))
-                ww = jnp.asarray(_linear_weights(logits.shape[2], in_w, out_align, np.float32))
-                out = jnp.einsum("nhwc,ow->nhoc", jnp.einsum("nhwc,oh->nowc", logits, wh), ww)
-                y = out
-            else:  # pragma: no cover
-                raise AssertionError(node.op)
-            vals[node.id] = y
+            y = exec_node(node, vals_fw, resize_hw)
+            vals_fw[node.id] = y
+            if node.op == "head":
+                out = y
         if output_name is not None:
             return {output_name: out}
         return out

@@ -79,6 +79,63 @@ def _quantize_conv(w_eff, bias, amax_real, relu=True):
     ), relu
 
 
+_MUL_SHIFT = 23  # fixed-point bits of the multiplier requant (see _quantize_conv_mul)
+
+
+class _QConvMul(NamedTuple):
+    """Quantized conv whose epilogue is an int32 fixed-point multiply+shift
+    requant instead of a power-of-two shift — full int8 range utilisation
+    at every layer (shift-only wastes up to one bit of range per layer,
+    which compounds over deep trunks)."""
+
+    w_q: jnp.ndarray  # [kh, kw, ci, co] int8
+    b_q: jnp.ndarray  # [co] int32
+    mult: jnp.ndarray  # [co] int32 — requant multiplier, scale = 2^_MUL_SHIFT/mult
+    clamp: jnp.ndarray  # [co] int32 — pre-multiply accumulator clamp (overflow guard)
+    sigma_out: np.ndarray  # [co] f64 — EXACT real scale of the int8 output
+
+
+def _quantize_conv_mul(w_eff, bias, amax_real):
+    """Like :func:`_quantize_conv` but with an exact-scale integer requant.
+
+    The requant factor f = QMAX/amax_int is represented as mult/2^23.  The
+    accumulator is pre-clamped per channel to (2^31-1-rnd)/mult, which by
+    construction is ~2x the calibrated range — values there would clip to
+    +-127 after requant anyway, so the clamp is lossless.  mult*amax_int is
+    ~127*2^23 ~ 2^30 for every channel, so the int32 product never
+    overflows, and sigma_out = sw*2^23/mult is exact for downstream
+    absorption.  Cost vs shift-only: one extra int32 clamp+multiply per
+    element, fused into the conv epilogue by XLA (parity measured on the
+    config-3 pipeline, benchmarks/RESULTS.md)."""
+    w_eff = np.asarray(w_eff, np.float64)
+    bias = np.asarray(bias, np.float64)
+    amax_real = np.asarray(amax_real, np.float64)
+    sw = np.abs(w_eff).max(axis=(0, 1, 2)) / _QMAX
+    sw = np.maximum(sw, 1e-12)
+    w_q = np.clip(np.round(w_eff / sw), -_QMAX, _QMAX).astype(np.int8)
+    b_q = np.round(bias / sw).astype(np.int64).clip(-(2**31), 2**31 - 1).astype(np.int32)
+    amax_int = np.maximum(amax_real / sw, 1.0)
+    mult = np.maximum(np.round(_QMAX / amax_int * (1 << _MUL_SHIFT)), 1.0)
+    clamp = np.floor((2.0**31 - 1 - (1 << (_MUL_SHIFT - 1))) / mult)
+    sigma_out = sw * float(1 << _MUL_SHIFT) / mult
+    return _QConvMul(
+        jnp.asarray(w_q),
+        jnp.asarray(b_q),
+        jnp.asarray(mult.astype(np.int32)),
+        jnp.asarray(clamp.astype(np.int32)),
+        sigma_out,
+    )
+
+
+def _requant_mul(acc, qc: _QConvMul):
+    """int32 accumulator -> int8 via clamp, fixed-point multiply, shift."""
+    c = qc.clamp[None, None, None, :]
+    acc = jnp.clip(acc, -c, c)
+    acc = acc * qc.mult[None, None, None, :]
+    acc = jax.lax.shift_right_arithmetic(acc + (1 << (_MUL_SHIFT - 1)), _MUL_SHIFT)
+    return jnp.clip(acc, -_QMAX, _QMAX).astype(jnp.int8)
+
+
 def _qconv_apply(x_q, qc: _QConv, relu=True):
     acc = jax.lax.conv_general_dilated(
         x_q,

@@ -59,14 +59,15 @@ def test_calibration_replay_matches_apply(name):
     np.testing.assert_allclose(replay, expected, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("requant", ["mul", "shift"])
 @pytest.mark.parametrize("name", list(ENCODERS))
-def test_int8_forward_approximates_f32(name):
+def test_int8_forward_approximates_f32(name, requant):
     model = _build(ENCODERS[name])
     rng = np.random.RandomState(1)
     x_cal = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
     variables = _trained_like_variables(model, x_cal, seed=2)
 
-    forward = quantize_encoder_decoder_inference(model, variables, x_cal)
+    forward = quantize_encoder_decoder_inference(model, variables, x_cal, requant=requant)
     x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
     q = np.asarray(forward(x))
     f = np.asarray(model.apply(variables, x))
@@ -76,6 +77,26 @@ def test_int8_forward_approximates_f32(name):
     # deeper trunk accumulates more requant noise — bound it at 12%
     assert rel_rms < 0.12, rel_rms
     assert np.all(np.isfinite(q))
+
+
+def test_mul_requant_beats_shift_on_calibration_data():
+    """The fixed-point-multiplier requant uses the full int8 range at every
+    layer (shift-only rounds scales up to powers of two, losing up to one
+    bit per layer); on inputs whose ranges the calibration covers exactly,
+    its fidelity must be at least as good as shift-only's."""
+    model = _build(ENCODERS["basic"])
+    rng = np.random.RandomState(7)
+    x_cal = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    variables = _trained_like_variables(model, x_cal, seed=7)
+    f = np.asarray(model.apply(variables, x_cal))
+
+    def rel(mode):
+        fwd = quantize_encoder_decoder_inference(model, variables, x_cal, requant=mode)
+        q = np.asarray(fwd(x_cal))
+        return float(np.sqrt(np.mean((q - f) ** 2)) / (np.sqrt(np.mean(f**2)) + 1e-12))
+
+    r_mul, r_shift = rel("mul"), rel("shift")
+    assert r_mul <= r_shift * 1.05, (r_mul, r_shift)
 
 
 def test_int8_forward_other_size_and_batch():
