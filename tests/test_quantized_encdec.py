@@ -99,6 +99,27 @@ def test_mul_requant_beats_shift_on_calibration_data():
     assert r_mul <= r_shift * 1.05, (r_mul, r_shift)
 
 
+def test_bias_correction_improves_calibration_fidelity():
+    """Sequential bias correction absorbs each conv's per-channel mean
+    quantization error into its integer bias; on the calibration tiles
+    themselves (where the absorbed means are exact) it must not hurt."""
+    model = _build(ENCODERS["bottleneck_se_resnext"])
+    rng = np.random.RandomState(11)
+    x_cal = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    variables = _trained_like_variables(model, x_cal, seed=11)
+    f = np.asarray(model.apply(variables, x_cal))
+
+    def rel(bc):
+        fwd = quantize_encoder_decoder_inference(
+            model, variables, x_cal, bias_correction=bc
+        )
+        q = np.asarray(fwd(x_cal))
+        return float(np.sqrt(np.mean((q - f) ** 2)) / (np.sqrt(np.mean(f**2)) + 1e-12))
+
+    r_on, r_off = rel(True), rel(False)
+    assert r_on <= r_off * 1.05, (r_on, r_off)
+
+
 def test_int8_forward_other_size_and_batch():
     """Inference size/batch decoupled from calibration (jit retraces)."""
     model = _build(ENCODERS["basic"])
