@@ -43,7 +43,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from pytorch_toolbelt_tpu.inference import tiled_apply_d4_tta
+from pytorch_toolbelt_tpu.utils import enable_compile_cache
 from pytorch_toolbelt_tpu.zoo import UNetSegmentationModel
+
+# The bench is remote-compile-dominated (the four pipeline variants cost
+# ~16 min of compiles cold vs ~1 min of device time); the persistent cache
+# turns repeat runs of the unchanged programs into sub-second deserializes.
+enable_compile_cache(str(Path(__file__).parent / ".xla_cache"))
 
 ANCHOR_H100_PYTORCH_MPS = 8.0  # see module docstring / benchmarks/RESULTS.md
 

@@ -21,6 +21,7 @@ from .fs import (
     zipdir,
 )
 from .checkpoint import checkpoint_exists, load_checkpoint, save_checkpoint
+from .compile_cache import enable_compile_cache
 from .namesgenerator import get_random_name
 from .profiling import Timer, benchmark, describe_compile, trace
 from .python_utils import as_tuple_of_two, load_yaml, maybe_eval, without

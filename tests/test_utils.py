@@ -432,3 +432,27 @@ def test_prefetch_to_device_sharded():
     assert out[0]["x"].sharding == sharding
 
     assert list(prefetch_to_device(iter([]), size=2)) == []
+
+
+def test_enable_compile_cache(tmp_path):
+    # Redirect the persistent cache to a temp dir, compile something
+    # non-trivial, and assert a serialized executable landed on disk;
+    # restore the suite's cache dir afterwards so other tests keep their
+    # warm entries.
+    prev = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        path = U.enable_compile_cache(str(tmp_path / "xla"), min_compile_time_secs=0.0)
+        assert os.path.isdir(path)
+
+        @jax.jit
+        def f(x):
+            return jnp.tanh(x @ x.T).sum()
+
+        f(jnp.ones((64, 64), jnp.float32)).block_until_ready()
+        assert os.listdir(path), "no cache entry written"
+        # idempotent re-enable
+        assert U.enable_compile_cache(str(tmp_path / "xla")) == path
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
