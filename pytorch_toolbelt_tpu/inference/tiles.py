@@ -407,14 +407,19 @@ def _stack_batches(coords_yx_np: np.ndarray, batch_size: int):
       program (when N doesn't divide) is within one tile of B_eff."""
     coords = np.asarray(coords_yx_np, dtype=np.int32)
     n_tiles = len(coords)
-    if n_tiles == 0:
-        return jnp.asarray(coords.reshape(0, max(batch_size, 1), 2)), jnp.asarray(coords)
-    total_batches = -(-n_tiles // batch_size)
-    b_eff = -(-n_tiles // total_batches)
-    num_full = n_tiles // b_eff
-    main = coords[: num_full * b_eff].reshape(num_full, b_eff, 2)
-    rem = coords[num_full * b_eff :]
-    return jnp.asarray(main), jnp.asarray(rem)
+    # ensure_compile_time_eval: these are host constants that get memoized in
+    # the plan lru_cache — if a caller traces over tiled_apply* (nesting it
+    # under their own jit), plain jnp.asarray would cache TRACERS and poison
+    # every later eager call with an UnexpectedTracerError.
+    with jax.ensure_compile_time_eval():
+        if n_tiles == 0:
+            return jnp.asarray(coords.reshape(0, max(batch_size, 1), 2)), jnp.asarray(coords)
+        total_batches = -(-n_tiles // batch_size)
+        b_eff = -(-n_tiles // total_batches)
+        num_full = n_tiles // b_eff
+        main = coords[: num_full * b_eff].reshape(num_full, b_eff, 2)
+        rem = coords[num_full * b_eff :]
+        return jnp.asarray(main), jnp.asarray(rem)
 
 
 @lru_cache(maxsize=4)
@@ -457,8 +462,10 @@ def _get_tiled_plan(h, w, tile_size, tile_step, weight, batch_size, partition="n
         norm[y : y + th, x : x + tw] += weight_np
     norm = np.clip(norm, np.finfo(np.float64).eps, None).astype(np.float32)
 
-    weight_dev = jnp.asarray(weight_np)[..., None]
-    inv_norm = jnp.asarray(1.0 / norm)[..., None]
+    # concrete even under an enclosing trace — see _stack_batches
+    with jax.ensure_compile_time_eval():
+        weight_dev = jnp.asarray(weight_np)[..., None]
+        inv_norm = jnp.asarray(1.0 / norm)[..., None]
     return slicer, group_coords, group_rem, weight_dev, inv_norm
 
 

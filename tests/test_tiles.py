@@ -12,6 +12,7 @@ from pytorch_toolbelt_tpu.inference import (
     VolumeMerger,
     VolumeSlicer,
     tiled_apply,
+    tiled_apply_d4_tta,
 )
 
 
@@ -345,6 +346,41 @@ def test_tiled_apply_d4_tta_full_exact_oracle():
     )
     expected = _host_tiled_d4_oracle(image_np, model_np, 32, 16, lambda y, x: tuple(range(8)))
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
+
+
+def test_tiled_apply_nested_under_jit_no_cache_poisoning():
+    """tiled_apply / tiled_apply_d4_tta may be traced inside a caller's own
+    jax.jit: the plan's device constants are built under
+    ensure_compile_time_eval, so (a) the nested call produces the same result
+    and (b) the memoized plan holds CONCRETE arrays — a later eager call with
+    the same geometry must not hit leaked tracers (regression: an outer jit
+    used to poison _get_tiled_plan's lru_cache with DynamicJaxprTracers)."""
+    from pytorch_toolbelt_tpu.inference import clear_tiled_cache
+
+    clear_tiled_cache()
+
+    def model(x):
+        return jnp.mean(x, axis=-1, keepdims=True) * 3.0
+
+    image = jnp.asarray(np.random.random((96, 96, 3)).astype(np.float32))
+
+    def pipeline(img):
+        return tiled_apply_d4_tta(
+            model, img, tile_size=32, tile_step=16, weight="pyramid", batch_size=4
+        )
+
+    jitted = np.asarray(jax.jit(pipeline)(image))
+    eager = np.asarray(pipeline(image))  # same geometry -> reuses the cached plan
+    np.testing.assert_allclose(jitted, eager, atol=1e-5)
+
+    plain = np.asarray(
+        jax.jit(
+            lambda img: tiled_apply(
+                model, img, tile_size=32, tile_step=16, weight="pyramid", batch_size=4
+            )
+        )(image)
+    )
+    np.testing.assert_allclose(plain, np.asarray(model(image[None]))[0], atol=1e-4)
 
 
 def test_clear_tiled_cache():
