@@ -552,6 +552,11 @@ def tiled_apply(
     model forwards (lax.scan), weighted overlap-add (in-place DUS), and
     normalization — one XLA program, no host round-trips.
 
+    Safe to call either eagerly (the pipeline is jitted internally) or from
+    inside a caller's own ``jax.jit`` (the tiling plan's constants are built
+    with ``ensure_compile_time_eval``, so tracing over this function composes
+    it into the enclosing program; the image extent must still be static).
+
     Args:
         model_fn: maps [B, th, tw, C] -> [B, th, tw, K]. Must be shape-preserving
             in the spatial dims, and must be a STABLE callable (define it once
