@@ -17,8 +17,10 @@ this is TPU-native quality-of-life, exposed as one idempotent call:
     enable_compile_cache("/ssd/xla")  # or a shared path
 
 Safe to call before or after other jax use (only programs compiled after
-the call are cached), safe to call repeatedly, and a cache miss simply
-falls back to a normal compile — there is no failure mode beyond disk
+the call are cached), safe to call repeatedly — including with a NEW
+directory, which re-points the live cache (jax's own config update alone
+does not once the cache singleton exists) — and a cache miss simply
+falls back to a normal compile; there is no failure mode beyond disk
 space, which `max_size_bytes` bounds via JAX's own LRU eviction.
 """
 
@@ -56,6 +58,7 @@ def enable_compile_cache(
 
     path = os.path.abspath(cache_dir or _DEFAULT_DIR)
     os.makedirs(path, exist_ok=True)
+    repoint = jax.config.jax_compilation_cache_dir != path
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update(
         "jax_persistent_cache_min_compile_time_secs", float(min_compile_time_secs)
@@ -67,4 +70,28 @@ def enable_compile_cache(
         jax.config.update("jax_compilation_cache_max_size", int(max_size_bytes))
     except (AttributeError, ValueError):
         pass
+    if repoint:
+        # jax.config.update does NOT re-point an already-initialized
+        # persistent-cache singleton: once any compile has touched dir A,
+        # later config updates to dir B are silently ignored.  Drop the
+        # singleton so the next compile re-initializes it at `path`.
+        _reset_cache_singleton()
     return path
+
+
+def _reset_cache_singleton() -> None:
+    try:
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
+    except Exception:  # pragma: no cover - private API moved; first-call-wins
+        import warnings
+
+        warnings.warn(
+            "enable_compile_cache: could not reset jax's persistent-cache "
+            "singleton on this jax version; if a different cache dir was "
+            "already in use, the previous directory stays active "
+            "(first-call-wins).",
+            RuntimeWarning,
+            stacklevel=3,
+        )

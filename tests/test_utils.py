@@ -435,24 +435,38 @@ def test_prefetch_to_device_sharded():
 
 
 def test_enable_compile_cache(tmp_path):
-    # Redirect the persistent cache to a temp dir, compile something
-    # non-trivial, and assert a serialized executable landed on disk;
-    # restore the suite's cache dir afterwards so other tests keep their
-    # warm entries.
+    # Warm jax's persistent-cache singleton on dir A, then re-point to
+    # dir B and assert entries actually land in B.  Regression: before
+    # round 5, once ANY compile had initialized the singleton (e.g. any
+    # earlier test), a later enable_compile_cache(new_dir) was a silent
+    # no-op — config changed, writes kept going to the old dir.  This
+    # test is therefore order-independent by construction: it always
+    # starts from an initialized singleton.
     prev = jax.config.jax_compilation_cache_dir
     prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
-        path = U.enable_compile_cache(str(tmp_path / "xla"), min_compile_time_secs=0.0)
-        assert os.path.isdir(path)
+        first = U.enable_compile_cache(
+            str(tmp_path / "xla_a"), min_compile_time_secs=0.0
+        )
+        jax.jit(lambda x: jnp.sin(x).sum())(
+            jnp.ones((32, 32), jnp.float32)
+        ).block_until_ready()
+
+        path = U.enable_compile_cache(
+            str(tmp_path / "xla_b"), min_compile_time_secs=0.0
+        )
+        assert path != first and os.path.isdir(path)
 
         @jax.jit
         def f(x):
             return jnp.tanh(x @ x.T).sum()
 
         f(jnp.ones((64, 64), jnp.float32)).block_until_ready()
-        assert os.listdir(path), "no cache entry written"
-        # idempotent re-enable
-        assert U.enable_compile_cache(str(tmp_path / "xla")) == path
+        assert os.listdir(path), "no cache entry written after re-point"
+        # idempotent re-enable of the same dir
+        assert U.enable_compile_cache(str(tmp_path / "xla_b")) == path
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
+        # Drop the tmp-dir singleton so later tests see the restored config.
+        U.compile_cache._reset_cache_singleton()
