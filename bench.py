@@ -243,6 +243,55 @@ def main():
     except Exception as exc:  # pragma: no cover - bench must never die on the extra path
         result["int8_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # Loss-suite fields (VERDICT r4 #8): BASELINE's metric string names
+    # "loss fwd+bwd GB/s" alongside MP/s — capture the two flagship fused
+    # custom-VJP losses in the driver JSON, not just RESULTS.md.  GB/s is
+    # the ANALYTIC minimum HBM traffic of a value_and_grad step (read
+    # logits x2 + targets x2 + write grad — benchmarks/loss_roofline.py)
+    # over the measured scan-chained wall time, i.e. effective bandwidth;
+    # x_floor = wall time over the 819 GB/s byte-floor time.
+    try:
+        from pytorch_toolbelt_tpu import losses as L
+
+        LB, LH, LW, LC = 8, 1024, 1024, 19
+        lrng = np.random.RandomState(1)
+        l_logits = jnp.asarray(lrng.randn(LB, LH, LW, LC).astype(np.float32))
+        l_tint = jnp.asarray(lrng.randint(0, LC, size=(LB, LH, LW)).astype(np.int32))
+        l_tbin = jnp.asarray((lrng.rand(LB, LH, LW, LC) > 0.5).astype(np.float32))
+        n_logits = LB * LH * LW * LC * 4
+        n_int = LB * LH * LW * 4
+        SCAN_LEN = 16
+
+        def loss_time(loss_fn, x, t):
+            @jax.jit
+            def run_l(x, t):
+                def body(carry, _):
+                    value, grad = jax.value_and_grad(lambda x_: loss_fn(x_, t))(carry)
+                    return carry + 1e-4 * grad, value
+
+                x, values = jax.lax.scan(body, x, None, length=SCAN_LEN)
+                return x, values.sum()
+
+            _, v = run_l(x, t)
+            float(v)
+            t0 = time.perf_counter()
+            _, v = run_l(x, t)
+            float(v)
+            return (time.perf_counter() - t0) / SCAN_LEN
+
+        focal = L.BinaryFocalLoss()
+        dice = L.DiceLoss(mode="multiclass")
+        floor_bin = 5 * n_logits
+        floor_int = 3 * n_logits + 2 * n_int
+        dt_focal = loss_time(lambda x, t: focal(x, t), l_logits, l_tbin)
+        dt_dice = loss_time(lambda x, t: dice(x, t), l_logits, l_tint)
+        result["loss_focal_gbps"] = round(floor_bin / dt_focal / 1e9, 1)
+        result["loss_focal_x_floor"] = round(dt_focal * 819e9 / floor_bin, 2)
+        result["loss_dice_gbps"] = round(floor_int / dt_dice / 1e9, 1)
+        result["loss_dice_x_floor"] = round(dt_dice * 819e9 / floor_int, 2)
+    except Exception as exc:  # pragma: no cover - bench must never die here
+        result["loss_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
     devices = jax.devices()
     if len(devices) > 1:
         # BASELINE config 5 code path: the SAME distributed-d4 algorithm the

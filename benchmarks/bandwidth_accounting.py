@@ -23,6 +23,10 @@ moved, achieved GB/s, % of the v5e's 819 GB/s HBM peak, achieved TFLOP/s,
 % of the 197 TFLOP/s bf16 peak — where each pipeline sits on the roofline,
 from the compiler's model rather than hand arithmetic.
 
+Covers {distributed, full} x {bf16, int8} at the shipped bench optima;
+int8 "flops" are MAC-counted by the same XLA cost model and compared
+against the chip's 394 TOP/s int8 peak.
+
 Run on the real chip: ``python benchmarks/bandwidth_accounting.py``.
 """
 
@@ -49,9 +53,15 @@ TILE_SIZE = 512
 TILE_STEP = 256
 HBM_PEAK_GBPS = 819.0  # v5e
 BF16_PEAK_TFLOPS = 197.0  # v5e
+INT8_PEAK_TOPS = 394.0  # v5e (2x the bf16 MAC rate)
 
-# (mode, batch) — the shipped bench.py optima
-CASES = [("distributed", 64), ("full", 16)]
+# (mode, batch, precision) — the shipped bench.py optima
+CASES = [
+    ("distributed", 64, "bf16"),
+    ("full", 16, "bf16"),
+    ("distributed", 64, "int8"),
+    ("full", 32, "int8"),
+]
 
 
 def _group_fns(forward, mode):
@@ -94,9 +104,18 @@ def main():
     image = jnp.asarray(rng.rand(IMAGE_SIZE, IMAGE_SIZE, 3).astype(np.float32))
     perturb = jax.jit(lambda img, out: img * (1.0 + 1e-6 * out[0, 0, 0]))
 
+    # int8 twin: same PTQ path bench.py measures (calibrated on bench tiles)
+    from pytorch_toolbelt_tpu.inference import tiles as _t
+    from pytorch_toolbelt_tpu.zoo.quantized_unet import quantize_unet_inference
+
+    slicer = _t.ImageSlicer((IMAGE_SIZE, IMAGE_SIZE), TILE_SIZE, TILE_STEP)
+    cal = jnp.stack([jnp.asarray(t) for t in slicer.split(np.asarray(image))[:4]])
+    q_forward = quantize_unet_inference(model, variables, cal)
+    forwards = {"bf16": forward, "int8": q_forward}
+
     rows = []
-    for mode, batch in CASES:
-        fns = _group_fns(forward, mode)
+    for mode, batch, precision in CASES:
+        fns = _group_fns(forwards[precision], mode)
         plans = _batch_programs(IMAGE_SIZE, IMAGE_SIZE, batch, mode)
 
         total_bytes = 0.0
@@ -130,9 +149,9 @@ def main():
         merge_bytes += 3 * tgt_h * tgt_w * K * 4  # normalize: read canvas + inv_norm, write out
         total_bytes += merge_bytes
 
-        def run(img, mode=mode, batch=batch):
+        def run(img, fwd=forwards[precision], mode=mode, batch=batch):
             return tiled_apply_d4_tta(
-                forward,
+                fwd,
                 img,
                 tile_size=TILE_SIZE,
                 tile_step=TILE_STEP,
@@ -157,6 +176,7 @@ def main():
         rows.append(
             {
                 "mode": mode,
+                "precision": precision,
                 "batch": batch,
                 "wall_s": round(dt, 3),
                 "mps": round(IMAGE_SIZE * IMAGE_SIZE / 1e6 / dt, 2),
@@ -166,7 +186,12 @@ def main():
                 "achieved_gbps": round(gbps, 1),
                 "pct_hbm_peak": round(100 * gbps / HBM_PEAK_GBPS, 1),
                 "achieved_tflops": round(tflops, 2),
-                "pct_bf16_peak": round(100 * tflops / BF16_PEAK_TFLOPS, 1),
+                "pct_mxu_peak": round(
+                    100
+                    * tflops
+                    / (BF16_PEAK_TFLOPS if precision == "bf16" else INT8_PEAK_TOPS),
+                    1,
+                ),
             }
         )
         print(json.dumps(rows[-1]))

@@ -15,9 +15,27 @@ back row-sharded over the mesh.  The input image is likewise delivered as
 per-device row strips (strip + halo), so nothing full-resolution is ever
 replicated.
 
+Since round 5 the per-device tile schedule uses the SAME balanced
+exact-batch plan as the single-chip runner (``inference/tiles.py
+_stack_batches``): per device and tile group, ``ceil(N_d / ceil(N_d/B))``
+-sized main batches plus one exact remainder batch — **no zero-valid
+padding slot ever executes the model on any device** (round 4 padded every
+per-device group to ``ceil(max_tiles/B)*B`` and ran the model on the dead
+slots, up to ~45% waste at the bench geometry).  Because per-device batch
+shapes can differ (edge strips intersect fewer tile rows), each device
+runs its own dispatch of a shared jitted runner instead of one shard_map
+SPMD program: JAX's async dispatch runs the per-device programs
+concurrently, the runner's jit cache shares traces across devices whose
+batch plans coincide (interior strips all coincide), and the XLA
+persistent compile cache dedupes the backend compile.  Per-device
+dispatch requires all mesh devices to be addressable from this process
+(true for a single-host v5e slice and the virtual CPU mesh; a multi-host
+mesh would need one process per host, as all JAX programs here do).
+
 ``canvas='replicated'`` keeps the round-2 scheme — every device owns a
-full-resolution accumulator, tiles are round-robined for load balance, and
-one full-canvas ``psum`` over ICI merges the partials.  It avoids the
+full-resolution accumulator, tiles are round-robined for load balance
+(exact balanced batches per device, same plan as above), and one
+full-canvas ``psum`` over ICI merges the partials.  It avoids the
 boundary-tile recompute and is fine for small canvases, but its per-device
 memory is O(H*W*K) (e.g. 7.6 GB for a 10000^2 19-class canvas) which does
 not fit beside a real model on a 16 GB v5e chip — hence the strip default.
@@ -33,17 +51,13 @@ d4 test-time augmentation composes with both canvases via ``d4_tta``:
   grid parity, so each device simply runs, for each of the 4 parity
   classes, the class's view pair on the tiles of that class intersecting
   its strip.  Every interior pixel still averages all 8 d4 views at 1/4
-  the model compute; the per-device program is the same grouped scan the
-  single-chip path runs, and the output bit-matches the single-chip
+  the model compute; the per-device program accumulates tiles in the same
+  group order and per-group coordinate order as the single-chip grouped
+  runner, so the output bit-matches the single-chip
   ``mode='distributed'`` result (tests/test_distributed.py).
-
-Both are implemented with shard_map so the per-device program is the
-single-chip tiled_apply loop (reference semantics:
-pytorch_toolbelt/inference/tiles.py:290-350's merge, distributed).
 """
 
-import math
-from functools import partial
+from functools import lru_cache
 from typing import Callable, Optional, Tuple, Union
 
 import jax
@@ -56,17 +70,9 @@ try:  # canonical location since jax 0.8
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from ..inference.tiles import ImageSlicer
+from ..inference.tiles import ImageSlicer, _stack_batches
 
 __all__ = ["tiled_apply_sharded", "clear_sharded_cache"]
-
-
-def _mark_varying(x, axis_name):
-    """Mark a freshly-created per-device array as device-varying so scan
-    carries typecheck under shard_map's varying-type system."""
-    if hasattr(lax, "pcast"):  # canonical spelling since jax 0.8
-        return lax.pcast(x, (axis_name,), to="varying")
-    return lax.pvary(x, (axis_name,))  # pragma: no cover
 
 
 def _resolve_d4(model_fn, d4_tta, tile_size, tile_step):
@@ -107,6 +113,15 @@ def _group_masks(coords_yx: np.ndarray, tile_step, partition: str):
     return [parity == g for g in range(4)]
 
 
+def _axis_device_grid(mesh: Mesh, axis_name: str) -> np.ndarray:
+    """Mesh devices as an [n, n_replicas] object array: row d holds every
+    device whose coordinate along ``axis_name`` is d (column 0 computes the
+    shard; the rest are replicas of any mesh axes not named in the
+    PartitionSpec, which receive copies)."""
+    k = tuple(mesh.axis_names).index(axis_name)
+    return np.moveaxis(mesh.devices, k, 0).reshape(mesh.shape[axis_name], -1)
+
+
 def tiled_apply_sharded(
     model_fn: Callable[[jnp.ndarray], jnp.ndarray],
     image: jnp.ndarray,
@@ -127,6 +142,9 @@ def tiled_apply_sharded(
             cached on its identity, like jax.jit).
         image: [H, W, C] (host or device).
         mesh: jax.sharding.Mesh whose ``axis_name`` axis carries the tiles.
+        batch_size: tile batch-size CAP; each device runs balanced exact
+            batches of ``ceil(N_d / ceil(N_d/batch_size))`` tiles plus one
+            exact remainder (no padding slots — see module docstring).
         canvas: 'strips' (default) — canvas rows sharded over the mesh, no
             collectives, O(H*W*K/n) per-device memory; 'replicated' — every
             device accumulates a full canvas, merged with one psum.
@@ -164,13 +182,14 @@ def tiled_apply_sharded(
             if len(_STRIPS_CACHE) >= 8:  # bound the pinned coords/inv-norm memory
                 _STRIPS_CACHE.pop(next(iter(_STRIPS_CACHE)))
             _STRIPS_CACHE[cache_key] = entry
-    slicer, strip_h, run, device_args = entry
+    slicer, strip_h, runner, per_dev_args, dev_grid, out_channels = entry
     th = slicer.tile_size[0]
     n = int(mesh.shape[axis_name])
     tgt_h_pad = strip_h * n
+    tgt_w = slicer.target_shape[1]
 
     # input image as per-device row strips with a tile-height halo on both
-    # sides (frame shift +th), so nothing full-resolution is replicated
+    # sides (frame shift +th), so nothing full-resolution is ever replicated
     padded_np = np.pad(
         np.asarray(image, dtype=np.float32),
         [
@@ -179,12 +198,24 @@ def tiled_apply_sharded(
             (0, 0),
         ],
     )
-    img_strips = np.stack(
-        [padded_np[d * strip_h : d * strip_h + strip_h + 2 * th] for d in range(n)]
+    # one async dispatch per strip owner; the jitted runner retraces only per
+    # distinct batch-plan shape tuple, and devices with the same plan share
+    # the trace (the backend executable is per-device, deduped by the XLA
+    # persistent compile cache)
+    outs = []
+    for d in range(n):
+        strip_np = padded_np[d * strip_h : d * strip_h + strip_h + 2 * th]
+        strip = jax.device_put(strip_np, dev_grid[d, 0])
+        mains, rems, weight_dev, inv_norm_strip = per_dev_args[d]
+        outs.append(runner(strip, mains, rems, weight_dev, inv_norm_strip))
+    arrays = []
+    for d in range(n):
+        arrays.append(outs[d])
+        for replica in dev_grid[d, 1:]:
+            arrays.append(jax.device_put(outs[d], replica))
+    merged = jax.make_array_from_single_device_arrays(
+        (tgt_h_pad, tgt_w, out_channels), NamedSharding(mesh, P(axis_name)), arrays
     )
-    spec = NamedSharding(mesh, P(axis_name))
-    with mesh:
-        merged = run(jax.device_put(jnp.asarray(img_strips), spec), *device_args)
     return merged[
         slicer.margin_top : slicer.margin_top + h,
         slicer.margin_left : slicer.margin_left + w,
@@ -196,18 +227,21 @@ _STRIPS_CACHE = {}
 
 def clear_sharded_cache() -> None:
     """Drop the cached strips programs (each pins per-device coords, the
-    inverse-norm strips and a compiled executable referencing the model
-    closure's parameters)."""
+    inverse-norm strips and compiled executables referencing the model
+    closure's parameters) and the per-device runner/merge caches."""
     _STRIPS_CACHE.clear()
+    _build_strip_runner.cache_clear()
+    _build_canvas_runner.cache_clear()
+    _psum_merge_program.cache_clear()
 
 
 def _build_strips_program(
     model_fns, partition, mesh, axis_name, h, w, c, tile_size, tile_step, weight, batch_size
 ):
-    """Build (slicer, strip_h, jitted runner, device-resident args) for a
-    strips-canvas configuration.  The runner is a SINGLE jit-wrapped
-    shard_map program reused across calls — rebuilding it per call (the
-    round-3 behavior) re-traced the whole tile scan every invocation."""
+    """Build (slicer, strip_h, runner, per-device args, device grid, K) for
+    a strips-canvas configuration.  Per-device constants (balanced batch
+    coords, weight window, inverse-norm strip) are committed to their
+    devices once and reused across calls."""
     n = int(mesh.shape[axis_name])
     slicer = ImageSlicer((h, w), tile_size, tile_step, weight=weight)
     th, tw = slicer.tile_size
@@ -228,90 +262,136 @@ def _build_strips_program(
     norm = np.clip(norm, np.finfo(np.float64).eps, None).astype(np.float32)
     inv_norm_strips = (1.0 / norm).reshape(n, strip_h, tgt_w, 1)
 
-    # per-device, per-group tile lists: every tile of the group whose rows
-    # intersect the device strip.  Local row offset is in the haloed frame
-    # (strip start minus one tile).  Each group is padded to a common batch
-    # count across devices (padding tiles carry zero weight).
-    group_arrays = []  # [(coords [n, nb, B, 2], valid [n, nb, B])]
-    live_fns = []
-    for g_mask, fn in zip(masks, model_fns):
-        per_dev = []
-        for d in range(n):
-            lo, hi = d * strip_h, (d + 1) * strip_h
-            sel = g_mask & (ys + th > lo) & (ys < hi)
-            local = np.stack([ys[sel] - lo + th, xs[sel]], axis=1).astype(np.int32)
-            per_dev.append(local)
-        max_tiles = max(len(p) for p in per_dev)
-        if max_tiles == 0:
-            continue  # group empty everywhere (degenerate grids)
-        per_len = -(-max_tiles // batch_size) * batch_size
-        coords_dev = np.zeros((n, per_len, 2), dtype=np.int32)
-        valid_dev = np.zeros((n, per_len), dtype=np.float32)
-        for d, local in enumerate(per_dev):
-            coords_dev[d, : len(local)] = local
-            valid_dev[d, : len(local)] = 1.0
-        nb = per_len // batch_size
-        group_arrays.append(
-            (coords_dev.reshape(n, nb, batch_size, 2), valid_dev.reshape(n, nb, batch_size))
-        )
-        live_fns.append(fn)
-
     probe = jax.eval_shape(
-        live_fns[0], jax.ShapeDtypeStruct((batch_size, th, tw, c), jnp.float32)
+        model_fns[0], jax.ShapeDtypeStruct((batch_size, th, tw, c), jnp.float32)
     )
-    out_channels = probe.shape[-1]
+    out_channels = int(probe.shape[-1])
+
+    dev_grid = _axis_device_grid(mesh, axis_name)
     weight_const = jnp.asarray(weight_np)[..., None]
 
-    def per_device_fn(img_strip, inv_norm_strip, *groups_flat):
-        img_strip = img_strip[0]  # [strip_h + 2*th, tgt_w, C]
-        inv_norm_strip = inv_norm_strip[0]
-        local = jnp.zeros((strip_h + 2 * th, tgt_w, out_channels), jnp.float32)
-        local = _mark_varying(local, axis_name)
+    # per-device, per-group tile lists: every tile of the group whose rows
+    # intersect the device strip, in global scan order (bit-match invariant),
+    # split into balanced exact batches — no padding slots.
+    per_dev_args = []
+    for d in range(n):
+        dev = dev_grid[d, 0]
+        lo, hi = d * strip_h, (d + 1) * strip_h
+        mains, rems = [], []
+        for g_mask in masks:
+            sel = g_mask & (ys + th > lo) & (ys < hi)
+            # local row offset is in the haloed frame (strip start minus one tile)
+            local = np.stack([ys[sel] - lo + th, xs[sel]], axis=1).astype(np.int32)
+            main, rem = _stack_batches(local, batch_size)
+            mains.append(jax.device_put(main, dev))
+            rems.append(jax.device_put(rem, dev))
+        per_dev_args.append(
+            (
+                tuple(mains),
+                tuple(rems),
+                jax.device_put(weight_const, dev),
+                jax.device_put(jnp.asarray(inv_norm_strips[d]), dev),
+            )
+        )
 
-        def make_step(fn):
-            def step(local, inp):
-                batch_coords, batch_valid = inp
-                tiles = jax.vmap(
-                    lambda yx: lax.dynamic_slice(
-                        img_strip, (yx[0], yx[1], 0), (th, tw, img_strip.shape[-1])
-                    )
-                )(batch_coords)
-                preds = fn(tiles).astype(jnp.float32)
+    runner = _build_strip_runner(model_fns, strip_h, tgt_w, th, tw, out_channels)
+    return slicer, strip_h, runner, tuple(per_dev_args), dev_grid, out_channels
 
-                def inner(i, local):
-                    y, x = batch_coords[i, 0], batch_coords[i, 1]
-                    region = lax.dynamic_slice(local, (y, x, 0), (th, tw, out_channels))
-                    update = region + preds[i] * weight_const * batch_valid[i]
-                    return lax.dynamic_update_slice(local, update, (y, x, 0))
 
-                return lax.fori_loop(0, batch_size, inner, local), None
+def _accumulate_batch(model_fn, canvas, batch_coords, padded, weight_dev, th, tw, out_channels):
+    """One exact batch: gather tiles, run the model, weighted DUS overlap-add.
+    Identical arithmetic (and per-tile order) to the single-chip runner
+    (inference/tiles.py _build_tiled_runner) so strips bit-match it."""
+    n = batch_coords.shape[0]
+    tiles = jax.vmap(
+        lambda yx: lax.dynamic_slice(padded, (yx[0], yx[1], 0), (th, tw, padded.shape[-1]))
+    )(batch_coords)
+    preds = model_fn(tiles).astype(jnp.float32)
 
-            return step
+    def inner(i, canvas):
+        y, x = batch_coords[i, 0], batch_coords[i, 1]
+        region = lax.dynamic_slice(canvas, (y, x, 0), (th, tw, out_channels))
+        update = region + preds[i] * weight_dev
+        return lax.dynamic_update_slice(canvas, update, (y, x, 0))
 
-        for gi, fn in enumerate(live_fns):
-            my_coords = groups_flat[2 * gi][0]
-            my_valid = groups_flat[2 * gi + 1][0]
-            local, _ = lax.scan(make_step(fn), local, (my_coords, my_valid))
+    return lax.fori_loop(0, n, inner, canvas)
+
+
+@lru_cache(maxsize=8)
+def _build_strip_runner(model_fns, strip_rows, tgt_w, th, tw, out_channels):
+    """Jitted per-device strips program: haloed local canvas, group-ordered
+    balanced-batch scans + exact remainder steps, own-strip slice x inverse
+    norm.  Retraces per distinct batch-plan shapes; devices whose plans
+    coincide share the trace."""
+
+    @jax.jit
+    def run(strip_img, group_mains, group_rems, weight_dev, inv_norm_strip):
+        local = jnp.zeros((strip_rows + 2 * th, tgt_w, out_channels), jnp.float32)
+        for fn, main, rem in zip(model_fns, group_mains, group_rems):
+            if main.shape[0] > 0:
+                local, _ = lax.scan(
+                    lambda c, bc, fn=fn: (
+                        _accumulate_batch(fn, c, bc, strip_img, weight_dev, th, tw, out_channels),
+                        None,
+                    ),
+                    local,
+                    main,
+                )
+            if rem.shape[0] > 0:
+                local = _accumulate_batch(
+                    fn, local, rem, strip_img, weight_dev, th, tw, out_channels
+                )
         # own strip only; halo rows belong to the neighbours, which computed
         # the straddling tiles themselves
-        return local[th : th + strip_h] * inv_norm_strip
+        return local[th : th + strip_rows] * inv_norm_strip
 
-    n_args = 2 + 2 * len(live_fns)
-    run = jax.jit(
+    return run
+
+
+@lru_cache(maxsize=8)
+def _build_canvas_runner(model_fns, tgt_h, tgt_w, th, tw, out_channels):
+    """Jitted per-device replicated-canvas program: full-target accumulator
+    over the device's balanced exact batches (normalization happens after
+    the cross-device psum)."""
+
+    @jax.jit
+    def run(padded, group_mains, group_rems, weight_dev):
+        canvas = jnp.zeros((tgt_h, tgt_w, out_channels), jnp.float32)
+        for fn, main, rem in zip(model_fns, group_mains, group_rems):
+            if main.shape[0] > 0:
+                canvas, _ = lax.scan(
+                    lambda c, bc, fn=fn: (
+                        _accumulate_batch(fn, c, bc, padded, weight_dev, th, tw, out_channels),
+                        None,
+                    ),
+                    canvas,
+                    main,
+                )
+            if rem.shape[0] > 0:
+                canvas = _accumulate_batch(
+                    fn, canvas, rem, padded, weight_dev, th, tw, out_channels
+                )
+        return canvas
+
+    return run
+
+
+@lru_cache(maxsize=8)
+def _psum_merge_program(mesh, axis_name, tgt_h, tgt_w, out_channels):
+    """One-collective merge of the replicated-canvas partials: psum over the
+    tile axis (rides ICI), then the static inverse-norm multiply."""
+
+    def merge(partial, inv_norm):
+        return lax.psum(partial[0], axis_name) * inv_norm
+
+    return jax.jit(
         shard_map(
-            per_device_fn,
+            merge,
             mesh=mesh,
-            in_specs=tuple(P(axis_name) for _ in range(n_args)),
-            out_specs=P(axis_name),
+            in_specs=(P(axis_name), P()),
+            out_specs=P(),
         )
     )
-
-    spec = NamedSharding(mesh, P(axis_name))
-    device_args = [jax.device_put(jnp.asarray(inv_norm_strips), spec)]
-    for coords_dev, valid_dev in group_arrays:
-        device_args.append(jax.device_put(jnp.asarray(coords_dev), spec))
-        device_args.append(jax.device_put(jnp.asarray(valid_dev), spec))
-    return slicer, strip_h, run, tuple(device_args)
 
 
 def _tiled_apply_replicated(
@@ -320,48 +400,20 @@ def _tiled_apply_replicated(
     """Round-2 scheme: full-resolution accumulator per device + one psum.
 
     Tile groups (d4 parity classes) are each round-robined over devices
-    independently, so the load stays balanced and every device scans group
-    g with group g's model function — same group order as the single-chip
-    grouped runner.
+    independently, so the load stays balanced (per-device counts differ by
+    at most 1) and every device scans group g with group g's model
+    function — same group order as the single-chip grouped runner.  Each
+    device runs balanced exact batches of its own tiles; no padding slot
+    ever executes the model.
     """
     h, w = int(image.shape[0]), int(image.shape[1])
-    num_devices = int(mesh.shape[axis_name])
+    n = int(mesh.shape[axis_name])
 
     slicer = ImageSlicer((h, w), tile_size, tile_step, weight=weight)
     th, tw = slicer.tile_size
     coords = slicer.crops
-    coords_yx_all = np.stack([coords[:, 1], coords[:, 0]], axis=1).astype(np.int64)
-    masks = _group_masks(coords_yx_all, slicer.tile_step, partition)
-
-    group_arrays = []
-    live_fns = []
-    for g_mask, fn in zip(masks, model_fns):
-        g_coords = coords_yx_all[g_mask]
-        n_tiles = len(g_coords)
-        if n_tiles == 0:
-            continue
-        per_device = -(-n_tiles // num_devices)
-        per_device = -(-per_device // batch_size) * batch_size
-        total = per_device * num_devices
-
-        coords_yx = np.zeros((total, 2), dtype=np.int32)
-        coords_yx[:n_tiles] = g_coords
-        valid = np.zeros((total,), dtype=np.float32)
-        valid[:n_tiles] = 1.0
-
-        # round-robin over devices so every device touches a similar canvas area
-        order = np.arange(total).reshape(-1, num_devices).T.reshape(-1)
-        coords_yx = coords_yx[order]
-        valid = valid[order]
-
-        nb = per_device // batch_size
-        group_arrays.append(
-            (
-                coords_yx.reshape(num_devices, nb, batch_size, 2),
-                valid.reshape(num_devices, nb, batch_size),
-            )
-        )
-        live_fns.append(fn)
+    coords_yx_all = np.stack([coords[:, 1], coords[:, 0]], axis=1).astype(np.int32)
+    masks = _group_masks(coords_yx_all.astype(np.int64), slicer.tile_step, partition)
 
     weight_np = slicer.weight.astype(np.float32)
     norm = np.zeros(slicer.target_shape, dtype=np.float64)
@@ -375,65 +427,44 @@ def _tiled_apply_replicated(
         (slicer.margin_left, slicer.margin_right),
         (0, 0),
     ]
+    padded_np = np.pad(np.asarray(image, dtype=np.float32), pad_spec)
 
     probe = jax.eval_shape(
-        live_fns[0], jax.ShapeDtypeStruct((batch_size, th, tw, image.shape[-1]), jnp.float32)
+        model_fns[0], jax.ShapeDtypeStruct((batch_size, th, tw, image.shape[-1]), jnp.float32)
     )
-    out_channels = probe.shape[-1]
-
+    out_channels = int(probe.shape[-1])
     weight_const = jnp.asarray(weight_np)[..., None]
-    inv_norm_const = jnp.asarray(1.0 / norm)[..., None]
 
-    def per_device_fn(padded, *groups_flat):
-        canvas = jnp.zeros((tgt_h, tgt_w, out_channels), jnp.float32)
-        canvas = _mark_varying(canvas, axis_name)
+    dev_grid = _axis_device_grid(mesh, axis_name)
+    runner = _build_canvas_runner(model_fns, tgt_h, tgt_w, th, tw, out_channels)
 
-        def make_step(fn):
-            def step(canvas, inp):
-                batch_coords, batch_valid = inp
-                tiles = jax.vmap(
-                    lambda yx: lax.dynamic_slice(padded, (yx[0], yx[1], 0), (th, tw, padded.shape[-1]))
-                )(batch_coords)
-                preds = fn(tiles).astype(jnp.float32)
+    partials = []
+    for d in range(n):
+        dev = dev_grid[d, 0]
+        mains, rems = [], []
+        for g_mask in masks:
+            g_coords = coords_yx_all[g_mask]
+            main, rem = _stack_batches(g_coords[d::n], batch_size)
+            mains.append(jax.device_put(main, dev))
+            rems.append(jax.device_put(rem, dev))
+        padded_dev = jax.device_put(padded_np, dev)
+        partial = runner(padded_dev, tuple(mains), tuple(rems), jax.device_put(weight_const, dev))
+        partials.append(partial[None])  # shard shape [1, tgt_h, tgt_w, K]
 
-                def inner(i, canvas):
-                    y, x = batch_coords[i, 0], batch_coords[i, 1]
-                    region = lax.dynamic_slice(canvas, (y, x, 0), (th, tw, out_channels))
-                    update = region + preds[i] * weight_const * batch_valid[i]
-                    return lax.dynamic_update_slice(canvas, update, (y, x, 0))
-
-                return lax.fori_loop(0, batch_size, inner, canvas), None
-
-            return step
-
-        for gi, fn in enumerate(live_fns):
-            my_coords = groups_flat[2 * gi][0]
-            my_valid = groups_flat[2 * gi + 1][0]
-            canvas, _ = lax.scan(make_step(fn), canvas, (my_coords, my_valid))
-        # merge partial canvases across the tile axis (rides ICI)
-        canvas = lax.psum(canvas, axis_name)
-        return canvas * inv_norm_const
-
-    n_groups = len(live_fns)
-    sharded = shard_map(
-        per_device_fn,
-        mesh=mesh,
-        in_specs=(P(),) + tuple(P(axis_name) for _ in range(2 * n_groups)),
-        out_specs=P(),
+    arrays = []
+    for d in range(n):
+        arrays.append(partials[d])
+        for replica in dev_grid[d, 1:]:
+            arrays.append(jax.device_put(partials[d], replica))
+    stacked = jax.make_array_from_single_device_arrays(
+        (n, tgt_h, tgt_w, out_channels), NamedSharding(mesh, P(axis_name)), arrays
     )
-
-    @jax.jit
-    def run(image, *flat):
-        padded = jnp.pad(image, pad_spec)
-        return sharded(padded, *flat)
-
-    spec = NamedSharding(mesh, P(axis_name))
-    flat_args = []
-    for coords_dev, valid_dev in group_arrays:
-        flat_args.append(jax.device_put(jnp.asarray(coords_dev), spec))
-        flat_args.append(jax.device_put(jnp.asarray(valid_dev), spec))
+    inv_norm = jax.device_put(
+        jnp.asarray(1.0 / norm)[..., None], NamedSharding(mesh, P())
+    )
+    merge = _psum_merge_program(mesh, axis_name, tgt_h, tgt_w, out_channels)
     with mesh:
-        merged = run(jnp.asarray(image), *flat_args)
+        merged = merge(stacked, inv_norm)
     return merged[
         slicer.margin_top : slicer.margin_top + h,
         slicer.margin_left : slicer.margin_left + w,

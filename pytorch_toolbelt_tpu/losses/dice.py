@@ -45,6 +45,17 @@ class DiceLoss:
                 y_pred, y_true, float(self.smooth), float(self.eps),
                 bool(self.log_loss), self.ignore_index, self.classes,
             )
+        if self.from_logits and fused.ENABLED:
+            # binary / multilabel sigmoid modes (round-5 fused path); binary
+            # flattens to a trailing singleton class axis first
+            if self.mode == BINARY_MODE:
+                bs = y_pred.shape[0]
+                y_pred = y_pred.reshape(bs, -1, 1)
+                y_true = y_true.reshape(bs, -1, 1)
+            return fused.fused_sigmoid_dice(
+                y_pred, y_true, float(self.smooth), float(self.eps),
+                bool(self.log_loss), self.ignore_index, self.classes,
+            )
         if self.from_logits:
             # log-exp route keeps gradients alive at extreme logits
             # (reference dice.py:69-75)

@@ -38,7 +38,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fused_softmax_focal", "fused_multiclass_dice", "ENABLED"]
+__all__ = [
+    "fused_softmax_focal",
+    "fused_multiclass_dice",
+    "fused_sigmoid_dice",
+    "fused_multiclass_jaccard",
+    "fused_sigmoid_jaccard",
+    "ENABLED",
+]
 
 # Escape hatch: set False to route every loss through the generic jax-AD
 # path (used by the roofline bench for A/B comparison).
@@ -210,3 +217,188 @@ def _dice_bwd(smooth, eps, log_loss, ignore_index, classes, res, g):
 
 
 fused_multiclass_dice.defvjp(_dice_fwd, _dice_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Sigmoid-mode (binary / multilabel) dice + jaccard, multiclass jaccard
+#
+# Round-5 additions (VERDICT r4 #5): the same derivation pattern as
+# multiclass dice.  Per-class scalars over the [B, N, C]-flattened view
+# (dims (0, 1), matching losses/_modes.flatten_for_iou):
+#
+#   dice:    score_c = (2 I_c + s) / max(P_c + T_c + s, eps)
+#            dscore/dp_i = 2 t_i / D_c - (2 I_c + s) / D_c^2           (*live)
+#   jaccard: score_c = (I_c + s) / max(P_c + T_c - I_c + s, eps)
+#            dscore/dp_i = t_i / D_c - (I_c + s)(1 - t_i) / D_c^2      (*live)
+#
+# with I = sum p t, P = sum p, T = sum t, and then the sigmoid VJP
+# dz = gp * p (1 - p) (binary/multilabel) or the softmax VJP (multiclass
+# jaccard).  ``live`` zeroes the denominator branch where the eps clamp is
+# active, mirroring jnp.maximum's subgradient choice in the AD path.
+# ---------------------------------------------------------------------------
+
+
+def _iou_epilogue(kind, intersection, p_sum, t_sum, smooth, eps, log_loss, classes):
+    if kind == "dice":
+        num = 2.0 * intersection + smooth
+        den_raw = p_sum + t_sum + smooth
+    else:
+        num = intersection + smooth
+        den_raw = p_sum + t_sum - intersection + smooth
+    d = jnp.maximum(den_raw, eps)
+    scores = num / d
+    loss = -jnp.log(jnp.maximum(scores, eps)) if log_loss else 1.0 - scores
+    loss = loss * (t_sum > 0)
+    if classes is not None:
+        loss = loss[jnp.asarray(classes)]
+    return loss.mean(), scores, d, den_raw, num
+
+
+def _iou_dscore(kind, scores, t_sum, eps, log_loss, classes, num_classes):
+    """dL/dscore_c as a [C] vector (the loss is a mean over the, possibly
+    class-subset, per-class vector)."""
+    if classes is not None:
+        sel = np.zeros(num_classes, np.float32)
+        sel[list(classes)] = 1.0
+        dloss = jnp.asarray(sel) / len(classes)
+    else:
+        dloss = jnp.full((num_classes,), 1.0 / num_classes, jnp.float32)
+    dloss = dloss * (t_sum > 0)
+    if log_loss:
+        return dloss * (-1.0 / jnp.maximum(scores, eps)) * (scores > eps)
+    return -dloss
+
+
+def _sigmoid_iou_pieces(z, t, ignore_index):
+    """[B, ..., C] logits + same-shape float targets -> flattened [B, N, C]
+    sigmoid probabilities and per-class reductions, with the reference's
+    post-sigmoid ignore_index masking (p and t both zeroed).
+
+    The trailing axis IS the class axis: binary callers must reshape to a
+    trailing singleton (``x.reshape(bs, -1, 1)``) before calling the fused
+    function (the DiceLoss/JaccardLoss wrappers do)."""
+    bs = z.shape[0]
+    z = z.astype(jnp.float32).reshape(bs, -1, z.shape[-1])
+    t = t.astype(jnp.float32).reshape(z.shape)
+    if ignore_index is not None:
+        valid = (t != ignore_index).astype(jnp.float32)
+    else:
+        valid = None
+    p = jax.nn.sigmoid(z)
+    p_eff = p if valid is None else p * valid
+    t_eff = t if valid is None else t * valid
+    intersection = (p_eff * t_eff).sum((0, 1))
+    p_sum = p_eff.sum((0, 1))
+    t_sum = t_eff.sum((0, 1))
+    return z, p, valid, t_eff, intersection, p_sum, t_sum
+
+
+def _sigmoid_iou_value(kind, y_pred, y_true, smooth, eps, log_loss, ignore_index, classes):
+    _, _, _, _, intersection, p_sum, t_sum = _sigmoid_iou_pieces(y_pred, y_true, ignore_index)
+    loss, _, _, _, _ = _iou_epilogue(
+        kind, intersection, p_sum, t_sum, smooth, eps, log_loss, classes
+    )
+    return loss
+
+
+def _sigmoid_iou_bwd(kind, smooth, eps, log_loss, ignore_index, classes, res, g):
+    y_pred, y_true = res
+    z, p, valid, t_eff, intersection, p_sum, t_sum = _sigmoid_iou_pieces(
+        y_pred, y_true, ignore_index
+    )
+    _, scores, d, den_raw, num = _iou_epilogue(
+        kind, intersection, p_sum, t_sum, smooth, eps, log_loss, classes
+    )
+    c = z.shape[-1]
+    dscore = _iou_dscore(kind, scores, t_sum, eps, log_loss, classes, c)
+    live = (den_raw > eps).astype(jnp.float32)
+    if kind == "dice":
+        a = dscore * 2.0 / d  # coefficient of t_i
+        b = -dscore * num / (d * d) * live  # constant (dP and dT ride den only)
+        gp = a * t_eff + b
+    else:
+        a = dscore * (1.0 / d + num / (d * d) * live)  # t_i terms of dI and -dU
+        b = -dscore * num / (d * d) * live
+        gp = a * t_eff + b
+    if valid is not None:
+        gp = gp * valid
+    grad = (gp * p * (1.0 - p) * g).reshape(y_pred.shape).astype(y_pred.dtype)
+    return grad, _zero_cotangent(y_true)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def fused_sigmoid_dice(y_pred, y_true, smooth, eps, log_loss, ignore_index, classes):
+    """DiceLoss(mode='binary'|'multilabel', from_logits=True) fast path.
+    ``classes`` must be a hashable static (tuple or None)."""
+    return _sigmoid_iou_value("dice", y_pred, y_true, smooth, eps, log_loss, ignore_index, classes)
+
+
+def _sdice_fwd(y_pred, y_true, smooth, eps, log_loss, ignore_index, classes):
+    value = fused_sigmoid_dice(y_pred, y_true, smooth, eps, log_loss, ignore_index, classes)
+    return value, (y_pred, y_true)
+
+
+fused_sigmoid_dice.defvjp(_sdice_fwd, partial(_sigmoid_iou_bwd, "dice"))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def fused_sigmoid_jaccard(y_pred, y_true, smooth, eps, log_loss, ignore_index, classes):
+    """JaccardLoss(mode='binary'|'multilabel', from_logits=True) fast path."""
+    return _sigmoid_iou_value(
+        "jaccard", y_pred, y_true, smooth, eps, log_loss, ignore_index, classes
+    )
+
+
+def _sjac_fwd(y_pred, y_true, smooth, eps, log_loss, ignore_index, classes):
+    value = fused_sigmoid_jaccard(y_pred, y_true, smooth, eps, log_loss, ignore_index, classes)
+    return value, (y_pred, y_true)
+
+
+fused_sigmoid_jaccard.defvjp(_sjac_fwd, partial(_sigmoid_iou_bwd, "jaccard"))
+
+
+def _softmax_jaccard_pieces(z, y):
+    """Multiclass: softmax probabilities + one-hot reductions without
+    materializing an f32 one-hot (iota-compare, as the dice fast path)."""
+    z = z.astype(jnp.float32)
+    is_t = jax.lax.broadcasted_iota(y.dtype, z.shape, z.ndim - 1) == y[..., None]
+    p = jax.nn.softmax(z, axis=-1)
+    axes = tuple(range(z.ndim - 1))
+    intersection = jnp.where(is_t, p, 0.0).sum(axes)
+    p_sum = p.sum(axes)
+    t_sum = is_t.astype(jnp.float32).sum(axes)
+    return p, is_t, intersection, p_sum, t_sum
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_multiclass_jaccard(y_pred, y_true, smooth, eps, log_loss, classes):
+    """JaccardLoss(mode='multiclass', from_logits=True) fast path (the
+    reference JaccardLoss has no ignore_index — kept for parity)."""
+    _, _, intersection, p_sum, t_sum = _softmax_jaccard_pieces(y_pred, y_true)
+    loss, _, _, _, _ = _iou_epilogue(
+        "jaccard", intersection, p_sum, t_sum, smooth, eps, log_loss, classes
+    )
+    return loss
+
+
+def _mjac_fwd(y_pred, y_true, smooth, eps, log_loss, classes):
+    value = fused_multiclass_jaccard(y_pred, y_true, smooth, eps, log_loss, classes)
+    return value, (y_pred, y_true)
+
+
+def _mjac_bwd(smooth, eps, log_loss, classes, res, g):
+    y_pred, y_true = res
+    p, is_t, intersection, p_sum, t_sum = _softmax_jaccard_pieces(y_pred, y_true)
+    _, scores, d, den_raw, num = _iou_epilogue(
+        "jaccard", intersection, p_sum, t_sum, smooth, eps, log_loss, classes
+    )
+    dscore = _iou_dscore("jaccard", scores, t_sum, eps, log_loss, classes, y_pred.shape[-1])
+    live = (den_raw > eps).astype(jnp.float32)
+    a = dscore * (1.0 / d + num / (d * d) * live)
+    b = -dscore * num / (d * d) * live
+    gp = jnp.where(is_t, a + b, b)
+    grad = p * (gp - (gp * p).sum(axis=-1, keepdims=True))
+    return (grad * g).astype(y_pred.dtype), _zero_cotangent(y_true)
+
+
+fused_multiclass_jaccard.defvjp(_mjac_fwd, _mjac_bwd)

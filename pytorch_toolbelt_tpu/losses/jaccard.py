@@ -34,6 +34,24 @@ class JaccardLoss:
             object.__setattr__(self, "classes", tuple(self.classes))
 
     def __call__(self, y_pred: jnp.ndarray, y_true: jnp.ndarray) -> jnp.ndarray:
+        from . import fused
+
+        if self.from_logits and fused.ENABLED:
+            # analytic custom-VJP fast paths (round 5; same derivation
+            # pattern as the dice kernels — benchmarks/RESULTS.md roofline)
+            if self.mode == MULTICLASS_MODE:
+                return fused.fused_multiclass_jaccard(
+                    y_pred, y_true, float(self.smooth), float(self.eps),
+                    bool(self.log_loss), self.classes,
+                )
+            if self.mode == BINARY_MODE:
+                bs = y_pred.shape[0]
+                y_pred = y_pred.reshape(bs, -1, 1)
+                y_true = y_true.reshape(bs, -1, 1)
+            return fused.fused_sigmoid_jaccard(
+                y_pred, y_true, float(self.smooth), float(self.eps),
+                bool(self.log_loss), None, self.classes,
+            )
         if self.from_logits:
             if self.mode == MULTICLASS_MODE:
                 y_pred = jnp.exp(jax.nn.log_softmax(y_pred, axis=-1))

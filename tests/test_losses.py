@@ -556,3 +556,91 @@ def test_soft_f1_ignore_index():
     fn = ((1 - probs) * oh).sum(0)
     expected = float((1 - 2 * tp / (2 * tp + fn + fp + 1e-6)).mean())
     assert mine == pytest.approx(expected, abs=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Fused custom-VJP fast paths vs the generic jax-AD route (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _fused_ab(loss, pred, tgt, atol=2e-6, grad_atol=2e-6):
+    """The fused (default) and AD (fused.ENABLED=False) routes of the SAME
+    loss object must agree in value and d(loss)/d(logits)."""
+    from pytorch_toolbelt_tpu.losses import fused
+
+    def value(p):
+        return loss(p, tgt)
+
+    assert fused.ENABLED
+    v_fused, g_fused = jax.value_and_grad(value)(pred)
+    fused.ENABLED = False
+    try:
+        v_ad, g_ad = jax.value_and_grad(value)(pred)
+    finally:
+        fused.ENABLED = True
+    np.testing.assert_allclose(float(v_fused), float(v_ad), atol=atol, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ad), atol=grad_atol, rtol=1e-4)
+
+
+@pytest.mark.parametrize("log_loss", [False, True])
+@pytest.mark.parametrize("mode,ignore,classes", [
+    ("binary", None, None),
+    ("binary", -100, None),
+    ("multilabel", None, None),
+    ("multilabel", -100, (0, 2)),
+    ("multiclass", None, (1, 3)),
+])
+def test_fused_dice_matches_ad(mode, ignore, classes, log_loss):
+    if mode == "multiclass":
+        pred = jnp.asarray(RNG.randn(2, 8, 8, 5).astype(np.float32))
+        tgt = jnp.asarray(RNG.randint(0, 5, size=(2, 8, 8)))
+    elif mode == "multilabel":
+        pred = jnp.asarray(RNG.randn(2, 8, 8, 5).astype(np.float32))
+        t = (RNG.rand(2, 8, 8, 5) > 0.5).astype(np.float32)
+        if ignore is not None:
+            t[:, ::3] = ignore
+        tgt = jnp.asarray(t)
+    else:
+        pred = jnp.asarray(RNG.randn(2, 8, 8, 1).astype(np.float32))
+        t = (RNG.rand(2, 8, 8, 1) > 0.5).astype(np.float32)
+        if ignore is not None:
+            t[:, ::3] = ignore
+        tgt = jnp.asarray(t)
+    loss = L.DiceLoss(mode=mode, log_loss=log_loss, ignore_index=ignore, classes=classes,
+                      smooth=0.1)
+    _fused_ab(loss, pred, tgt)
+
+
+@pytest.mark.parametrize("log_loss", [False, True])
+@pytest.mark.parametrize("mode,classes", [
+    ("binary", None),
+    ("multilabel", None),
+    ("multilabel", (1, 4)),
+    ("multiclass", None),
+    ("multiclass", (0, 2)),
+])
+def test_fused_jaccard_matches_ad(mode, classes, log_loss):
+    if mode == "multiclass":
+        pred = jnp.asarray(RNG.randn(2, 8, 8, 5).astype(np.float32))
+        tgt = jnp.asarray(RNG.randint(0, 5, size=(2, 8, 8)))
+    elif mode == "multilabel":
+        pred = jnp.asarray(RNG.randn(2, 8, 8, 5).astype(np.float32))
+        tgt = jnp.asarray((RNG.rand(2, 8, 8, 5) > 0.5).astype(np.float32))
+    else:
+        pred = jnp.asarray(RNG.randn(2, 8, 8).astype(np.float32))
+        tgt = jnp.asarray((RNG.rand(2, 8, 8) > 0.5).astype(np.float32))
+    loss = L.JaccardLoss(mode=mode, log_loss=log_loss, classes=classes, smooth=0.05)
+    _fused_ab(loss, pred, tgt)
+
+
+def test_fused_iou_empty_class_zeroed():
+    """A class absent from the GT must contribute zero loss AND zero
+    gradient flow through its score (the t_sum>0 mask), fused and AD alike."""
+    pred = jnp.asarray(RNG.randn(2, 8, 8, 3).astype(np.float32))
+    t = np.zeros((2, 8, 8, 3), np.float32)
+    t[..., 0] = 1.0  # classes 1, 2 empty
+    tgt = jnp.asarray(t)
+    for loss in (L.DiceLoss(mode="multilabel"), L.JaccardLoss(mode="multilabel")):
+        _fused_ab(loss, pred, tgt)
+        v = float(loss(pred, tgt))
+        assert np.isfinite(v)
