@@ -84,6 +84,12 @@ def reference_available() -> bool:
                 tv_models = types.ModuleType("torchvision.models")
 
                 def _missing_model(name):
+                    if name.startswith("__"):
+                        # inspect.getmodule & friends probe __file__/__spec__
+                        # on every sys.modules entry; answering with a
+                        # function breaks them — dunders must miss honestly
+                        raise AttributeError(name)
+
                     def unavailable(*args, **kwargs):
                         raise RuntimeError(f"torchvision.models.{name} is not available in tests")
 
