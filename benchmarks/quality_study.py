@@ -103,9 +103,14 @@ def iou(pred_mask: np.ndarray, gt: np.ndarray) -> float:
     return float(inter) / max(float(union), 1.0)
 
 
-def main():
-    print("training UNet-16 on synthetic shapes ...")
-    model, variables = train_model()
+MODES = ("no_tta", "full_d4", "distributed_d4", "int8_distributed_d4")
+
+
+def evaluate_seed(seed: int, scenes):
+    """Train one model with ``seed``, evaluate every mode on the SAME
+    held-out scene set (shared across seeds for paired comparisons)."""
+    print(f"training UNet-16 (seed {seed}) on synthetic shapes ...")
+    model, variables = train_model(seed=seed)
 
     def forward(tiles):
         return model.apply(variables, tiles)
@@ -118,60 +123,79 @@ def main():
     cal = jnp.asarray(np.stack([make_scene(cal_rng, TILE)[0] for _ in range(16)]))
     q_forward = quantize_unet_inference(model, variables, cal)
 
-    run_plain = partial(tiled_apply, forward, tile_size=TILE, tile_step=STEP, batch_size=8)
-    run_full = partial(
-        tiled_apply_d4_tta, forward, tile_size=TILE, tile_step=STEP, batch_size=8, mode="full"
-    )
-    run_dist = partial(
-        tiled_apply_d4_tta, forward, tile_size=TILE, tile_step=STEP, batch_size=8, mode="distributed"
-    )
-    run_dist_q = partial(
-        tiled_apply_d4_tta, q_forward, tile_size=TILE, tile_step=STEP, batch_size=8,
-        mode="distributed",
-    )
+    kw = dict(tile_size=TILE, tile_step=STEP, batch_size=8)
+    runners = {
+        "no_tta": partial(tiled_apply, forward, **kw),
+        "full_d4": partial(tiled_apply_d4_tta, forward, mode="full", **kw),
+        "distributed_d4": partial(tiled_apply_d4_tta, forward, mode="distributed", **kw),
+        "int8_distributed_d4": partial(tiled_apply_d4_tta, q_forward, mode="distributed", **kw),
+    }
 
-    rng = np.random.RandomState(1234)
-    n_scenes = 8
-    ious = {"no_tta": [], "full_d4": [], "distributed_d4": [], "int8_distributed_d4": []}
-    deltas, agreements, p95s, dstds = [], [], [], []
-    q_deltas, q_agreements = [], []
-    for s in range(n_scenes):
-        img_np, gt = make_scene(rng, SCENE)
+    records = []
+    for img_np, gt in scenes:
         img = jnp.asarray(img_np)
-        logits = {
-            "no_tta": np.asarray(run_plain(img)),
-            "full_d4": np.asarray(run_full(img)),
-            "distributed_d4": np.asarray(run_dist(img)),
-            "int8_distributed_d4": np.asarray(run_dist_q(img)),
-        }
-        probs = {k: 1.0 / (1.0 + np.exp(-v)) for k, v in logits.items()}
+        probs = {k: 1.0 / (1.0 + np.exp(-np.asarray(run(img)))) for k, run in runners.items()}
         gt_b = gt[..., 0] > 0.5
-        for k in ious:
-            ious[k].append(iou(probs[k][..., 0] > 0.5, gt_b))
+        rec = {f"iou_{k}": iou(probs[k][..., 0] > 0.5, gt_b) for k in MODES}
         dp = np.abs(probs["full_d4"] - probs["distributed_d4"])
-        deltas.append(dp.mean())
-        p95s.append(np.percentile(dp, 95))
-        dstds.append(probs["full_d4"].std())
-        agreements.append(
+        rec["mode_dp"] = float(dp.mean())
+        rec["mode_dp_p95"] = float(np.percentile(dp, 95))
+        rec["prob_std"] = float(probs["full_d4"].std())
+        rec["mode_agreement"] = float(
             ((probs["full_d4"] > 0.5) == (probs["distributed_d4"] > 0.5)).mean()
         )
-        q_deltas.append(np.abs(probs["int8_distributed_d4"] - probs["distributed_d4"]).mean())
-        q_agreements.append(
+        rec["q_dp"] = float(np.abs(probs["int8_distributed_d4"] - probs["distributed_d4"]).mean())
+        rec["q_agreement"] = float(
             ((probs["int8_distributed_d4"] > 0.5) == (probs["distributed_d4"] > 0.5)).mean()
         )
+        records.append(rec)
+    return records
 
-    print(f"\n=== quality study: {n_scenes} scenes of {SCENE}x{SCENE}, trained UNet-16 ===")
-    for k, v in ious.items():
-        print(f"IoU vs GT  {k:16s}: {np.mean(v):.4f}  (+/- {np.std(v):.4f})")
-    print(f"\nfull-d4 vs distributed-d4 (probability space):")
-    print(f"  mean |dp|          : {np.mean(deltas):.5f}")
-    print(f"  p95  |dp|          : {np.mean(p95s):.5f}")
-    print(f"  prob std (full)    : {np.mean(dstds):.4f}")
-    print(f"  mean|dp| / std     : {np.mean(deltas) / np.mean(dstds):.4f}")
-    print(f"  hard-pred agreement: {np.mean(agreements) * 100:.3f}%")
-    print(f"\nint8 vs bf16 distributed-d4 (probability space):")
-    print(f"  mean |dp|          : {np.mean(q_deltas):.5f}")
-    print(f"  hard-pred agreement: {np.mean(q_agreements) * 100:.3f}%")
+
+def main():
+    from study_stats import paired_delta_report, print_cell, summarize_cell
+
+    n_scenes = 16
+    seeds = (0, 1)
+    scene_rng = np.random.RandomState(1234)
+    scenes = [make_scene(scene_rng, SCENE) for _ in range(n_scenes)]
+
+    records = []
+    for seed in seeds:
+        records.extend(evaluate_seed(seed, scenes))
+
+    def col(key):
+        return np.asarray([r[key] for r in records])
+
+    print(
+        f"\n=== quality study: {len(seeds)} seeds x {n_scenes} scenes of "
+        f"{SCENE}x{SCENE}, trained UNet-16 (n={len(records)} cells) ==="
+    )
+    for k in MODES:
+        print_cell(summarize_cell(f"IoU {k}", col(f"iou_{k}")))
+
+    print("\npaired per-scene deltas (bootstrap 95% CI; significant iff CI excludes 0):")
+    print_cell(paired_delta_report("TTA gain (full_d4 - no_tta)", col("iou_full_d4"), col("iou_no_tta")))
+    print_cell(
+        paired_delta_report(
+            "mode delta (dist - full)", col("iou_distributed_d4"), col("iou_full_d4")
+        )
+    )
+    print_cell(
+        paired_delta_report(
+            "int8 cost (int8 - bf16 dist)", col("iou_int8_distributed_d4"), col("iou_distributed_d4")
+        )
+    )
+
+    print("\nfull-d4 vs distributed-d4 (probability space):")
+    print(f"  mean |dp|          : {col('mode_dp').mean():.5f}")
+    print(f"  p95  |dp|          : {col('mode_dp_p95').mean():.5f}")
+    print(f"  prob std (full)    : {col('prob_std').mean():.4f}")
+    print(f"  mean|dp| / std     : {col('mode_dp').mean() / col('prob_std').mean():.4f}")
+    print(f"  hard-pred agreement: {col('mode_agreement').mean() * 100:.3f}%")
+    print("\nint8 vs bf16 distributed-d4 (probability space):")
+    print(f"  mean |dp|          : {col('q_dp').mean():.5f}")
+    print(f"  hard-pred agreement: {col('q_agreement').mean() * 100:.3f}%")
 
 
 if __name__ == "__main__":

@@ -123,9 +123,14 @@ def miou(pred: np.ndarray, gt: np.ndarray) -> float:
     return float(np.mean(ious))
 
 
-def main():
-    print(f"training SEResNeXt50-FPN {NUM_CLASSES}-class on synthetic scenes ...")
-    model, variables = train_model()
+MODES = ("no_tta", "full_d4", "distributed_d4", "int8_distributed_d4")
+
+
+def evaluate_seed(seed: int, scenes):
+    """Train one model with ``seed``, evaluate every mode on the SAME
+    held-out scene set (shared across seeds for paired comparisons)."""
+    print(f"training SEResNeXt50-FPN {NUM_CLASSES}-class (seed {seed}) ...")
+    model, variables = train_model(seed=seed)
 
     def forward(tiles):
         return model.apply(variables, tiles)
@@ -140,58 +145,92 @@ def main():
     print(f"  int8 forward rel-RMS vs f32 on calibration tiles: {rel:.4f}")
 
     kw = dict(tile_size=TILE, tile_step=STEP, batch_size=8)
-    run_plain = partial(tiled_apply, forward, **kw)
-    run_full = partial(tiled_apply_d4_tta, forward, mode="full", **kw)
-    run_dist = partial(tiled_apply_d4_tta, forward, mode="distributed", **kw)
-    run_dist_q = partial(tiled_apply_d4_tta, q_forward, mode="distributed", **kw)
+    runners = {
+        "no_tta": partial(tiled_apply, forward, **kw),
+        "full_d4": partial(tiled_apply_d4_tta, forward, mode="full", **kw),
+        "distributed_d4": partial(tiled_apply_d4_tta, forward, mode="distributed", **kw),
+        "int8_distributed_d4": partial(tiled_apply_d4_tta, q_forward, mode="distributed", **kw),
+    }
 
-    rng = np.random.RandomState(1234)
-    n_scenes = 4
-    ious = {"no_tta": [], "full_d4": [], "distributed_d4": [], "int8_distributed_d4": []}
-    deltas, agreements, p95s, dstds, q_deltas, q_agreements = [], [], [], [], [], []
+    records = []
     times = {"distributed_d4": [], "int8_distributed_d4": []}
-    for s in range(n_scenes):
-        img_np, gt = make_scene(rng, SCENE)
+    for img_np, gt in scenes:
         img = jnp.asarray(img_np)
         logits = {}
-        logits["no_tta"] = np.asarray(run_plain(img))
-        logits["full_d4"] = np.asarray(run_full(img))
-        t0 = time.perf_counter()
-        out = run_dist(img)
-        logits["distributed_d4"] = np.asarray(out)  # d2h sync included
-        times["distributed_d4"].append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        out = run_dist_q(img)
-        logits["int8_distributed_d4"] = np.asarray(out)
-        times["int8_distributed_d4"].append(time.perf_counter() - t0)
+        for k, run in runners.items():
+            t0 = time.perf_counter()
+            logits[k] = np.asarray(run(img))  # d2h sync included
+            if k in times:
+                times[k].append(time.perf_counter() - t0)
 
-        probs = {k: jax.nn.softmax(jnp.asarray(v), axis=-1) for k, v in logits.items()}
-        probs = {k: np.asarray(v) for k, v in probs.items()}
+        probs = {k: np.asarray(jax.nn.softmax(jnp.asarray(v), axis=-1)) for k, v in logits.items()}
         preds = {k: v.argmax(-1) for k, v in probs.items()}
-        for k in ious:
-            ious[k].append(miou(preds[k], gt))
+        rec = {f"miou_{k}": miou(preds[k], gt) for k in MODES}
         dp = np.abs(probs["full_d4"] - probs["distributed_d4"])
-        deltas.append(dp.mean())
-        p95s.append(np.percentile(dp, 95))
-        dstds.append(probs["full_d4"].std())
-        agreements.append((preds["full_d4"] == preds["distributed_d4"]).mean())
-        q_deltas.append(np.abs(probs["int8_distributed_d4"] - probs["distributed_d4"]).mean())
-        q_agreements.append((preds["int8_distributed_d4"] == preds["distributed_d4"]).mean())
+        rec["mode_dp"] = float(dp.mean())
+        rec["mode_dp_p95"] = float(np.percentile(dp, 95))
+        rec["prob_std"] = float(probs["full_d4"].std())
+        rec["mode_agreement"] = float((preds["full_d4"] == preds["distributed_d4"]).mean())
+        rec["q_dp"] = float(np.abs(probs["int8_distributed_d4"] - probs["distributed_d4"]).mean())
+        rec["q_agreement"] = float((preds["int8_distributed_d4"] == preds["distributed_d4"]).mean())
+        records.append(rec)
+    return records, times
+
+
+def main():
+    from study_stats import paired_delta_report, print_cell, summarize_cell
+
+    n_scenes = 16
+    seeds = (0, 1)
+    scene_rng = np.random.RandomState(1234)
+    scenes = [make_scene(scene_rng, SCENE) for _ in range(n_scenes)]
+
+    records = []
+    times = {"distributed_d4": [], "int8_distributed_d4": []}
+    for seed in seeds:
+        recs, ts = evaluate_seed(seed, scenes)
+        records.extend(recs)
+        for k in times:
+            times[k].extend(ts[k])
+
+    def col(key):
+        return np.asarray([r[key] for r in records])
 
     mp = SCENE * SCENE / 1e6
-    print(f"\n=== config-3 quality study: {n_scenes} scenes {SCENE}x{SCENE}, "
-          f"trained SEResNeXt50-FPN, {NUM_CLASSES} classes ===")
-    for k, v in ious.items():
-        print(f"mIoU vs GT  {k:20s}: {np.mean(v):.4f}  (+/- {np.std(v):.4f})")
+    print(
+        f"\n=== config-3 quality study: {len(seeds)} seeds x {n_scenes} scenes "
+        f"{SCENE}x{SCENE}, trained SEResNeXt50-FPN, {NUM_CLASSES} classes "
+        f"(n={len(records)} cells) ==="
+    )
+    for k in MODES:
+        print_cell(summarize_cell(f"mIoU {k}", col(f"miou_{k}")))
+
+    print("\npaired per-scene deltas (bootstrap 95% CI; significant iff CI excludes 0):")
+    print_cell(
+        paired_delta_report("TTA gain (full_d4 - no_tta)", col("miou_full_d4"), col("miou_no_tta"))
+    )
+    print_cell(
+        paired_delta_report(
+            "mode delta (dist - full)", col("miou_distributed_d4"), col("miou_full_d4")
+        )
+    )
+    print_cell(
+        paired_delta_report(
+            "int8 cost (int8 - bf16 dist)",
+            col("miou_int8_distributed_d4"),
+            col("miou_distributed_d4"),
+        )
+    )
+
     print("\nfull-d4 vs distributed-d4 (probability space):")
-    print(f"  mean |dp|          : {np.mean(deltas):.5f}")
-    print(f"  p95  |dp|          : {np.mean(p95s):.5f}")
-    print(f"  prob std (full)    : {np.mean(dstds):.4f}")
-    print(f"  mean|dp| / std     : {np.mean(deltas) / np.mean(dstds):.4f}")
-    print(f"  hard-pred agreement: {np.mean(agreements) * 100:.3f}%")
+    print(f"  mean |dp|          : {col('mode_dp').mean():.5f}")
+    print(f"  p95  |dp|          : {col('mode_dp_p95').mean():.5f}")
+    print(f"  prob std (full)    : {col('prob_std').mean():.4f}")
+    print(f"  mean|dp| / std     : {col('mode_dp').mean() / col('prob_std').mean():.4f}")
+    print(f"  hard-pred agreement: {col('mode_agreement').mean() * 100:.3f}%")
     print("\nint8 vs bf16 distributed-d4 (probability space):")
-    print(f"  mean |dp|          : {np.mean(q_deltas):.5f}")
-    print(f"  hard-pred agreement: {np.mean(q_agreements) * 100:.3f}%")
+    print(f"  mean |dp|          : {col('q_dp').mean():.5f}")
+    print(f"  hard-pred agreement: {col('q_agreement').mean() * 100:.3f}%")
     print("\ndistributed-d4 pipeline throughput (1024^2 scene, steady-state "
           "= later scenes after compile):")
     for k, ts in times.items():
