@@ -3,8 +3,10 @@
 Behavioral parity target: pytorch_toolbelt/losses/bitempered_loss.py:25-284.
 
 The normalization constant of the tempered softmax is found iteratively
-(fixed point for t>1, binary search for t<1) — both loops become
-``lax.fori_loop``s.  The backward pass through the iteration is replaced by
+(fixed point for t>1, binary search for t<1) — both loops are statically
+unrolled so XLA fuses the whole chain (an HLO while body is a fusion
+barrier on TPU; see _normalization_fixed_point). The backward pass
+through the iteration is replaced by
 the analytic escort-distribution gradient via ``jax.custom_vjp``, matching the
 reference's custom ``ComputeNormalization`` autograd function
 (bitempered_loss.py:80-110).
@@ -19,7 +21,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 __all__ = [
     "log_t",
@@ -44,15 +45,22 @@ def exp_t(u: jnp.ndarray, t: float) -> jnp.ndarray:
 
 
 def _normalization_fixed_point(activations: jnp.ndarray, t: float, num_iters: int) -> jnp.ndarray:
-    """Fixed-point iteration for t > 1 (reference bitempered_loss.py:25-45)."""
+    """Fixed-point iteration for t > 1 (reference bitempered_loss.py:25-45).
+
+    ``num_iters`` is a static Python int, so the loop is UNROLLED rather
+    than lowered to an opaque ``lax.fori_loop``: an HLO while body is a
+    fusion barrier on TPU, which forced every iteration to re-stream the
+    [..., C] activations from HBM (measured 14.4x the fwd+bwd byte floor
+    in round 4).  Unrolled, XLA fuses the whole elementwise+row-reduce
+    chain and the activations stream once (roofline table in
+    benchmarks/RESULTS.md)."""
     mu = jnp.max(activations, axis=-1, keepdims=True)
     normalized0 = activations - mu
 
-    def body(_, normalized):
+    normalized = normalized0
+    for _ in range(num_iters):
         logt_partition = jnp.sum(exp_t(normalized, t), axis=-1, keepdims=True)
-        return normalized0 * jnp.power(logt_partition, 1.0 - t)
-
-    normalized = lax.fori_loop(0, num_iters, body, normalized0)
+        normalized = normalized0 * jnp.power(logt_partition, 1.0 - t)
     logt_partition = jnp.sum(exp_t(normalized, t), axis=-1, keepdims=True)
     return -log_t(1.0 / logt_partition, t) + mu
 
@@ -68,16 +76,16 @@ def _normalization_binary_search(activations: jnp.ndarray, t: float, num_iters: 
     lower = jnp.zeros_like(mu)
     upper = -log_t(1.0 / effective_dim, t) * jnp.ones_like(lower)
 
-    def body(_, carry):
-        lower, upper = carry
+    # static trip count -> unrolled (same fusion rationale as the fixed
+    # point above: a while body would re-stream the activations per step)
+    for _ in range(num_iters):
         logt_partition = (upper + lower) / 2.0
         sum_probs = jnp.sum(exp_t(normalized - logt_partition, t), axis=-1, keepdims=True)
         update = (sum_probs < 1.0).astype(activations.dtype)
-        new_lower = lower * update + (1.0 - update) * logt_partition
-        new_upper = upper * (1.0 - update) + update * logt_partition
-        return new_lower, new_upper
-
-    lower, upper = lax.fori_loop(0, num_iters, body, (lower, upper))
+        lower, upper = (
+            lower * update + (1.0 - update) * logt_partition,
+            upper * (1.0 - update) + update * logt_partition,
+        )
     return (upper + lower) / 2.0 + mu
 
 
