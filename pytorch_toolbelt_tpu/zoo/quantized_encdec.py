@@ -38,7 +38,7 @@ decoders/fpn.py:13-88 + heads/resize.py:11-82 inference forward (the torch
 reference has no quantized path; this is a TPU-native extension).
 """
 
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, Iterable, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -440,6 +440,7 @@ def quantize_encoder_decoder_inference(
     calibration: str = "absmax",
     percentile: float = 99.9,
     fallback_convs: int = 0,
+    fallback_nodes: Optional[Iterable[int]] = None,
 ) -> Callable:
     """Build a fully-integer jitted inference forward for a trained
     ``EncoderDecoderModel`` with a ResNet-family encoder (incl. SE /
@@ -475,6 +476,9 @@ def quantize_encoder_decoder_inference(
             and the output is re-quantized onto its calibrated int8 grid
             so the rest of the graph stays integer.  Mixed-precision PTQ
             fallback; 0 (default) = fully integer.
+        fallback_nodes: explicit conv node ids to keep in f32 (as returned
+            by ``attribute_quantization_error``'s ``node`` field) — skips
+            the internal attribution pass; overrides ``fallback_convs``.
 
     Returns:
         ``forward(x) -> [B, H, W, num_classes] float32`` logits
@@ -499,7 +503,12 @@ def quantize_encoder_decoder_inference(
 
     # ---- mixed-precision fallback selection ------------------------------
     f32_nodes: set = set()
-    if fallback_convs > 0:
+    if fallback_nodes is not None:
+        f32_nodes = {int(i) for i in fallback_nodes}
+        bad = [i for i in f32_nodes if i >= len(g.nodes) or g.nodes[i].op != "conv"]
+        if bad:
+            raise ValueError(f"fallback_nodes must be conv node ids; bad: {sorted(bad)}")
+    elif fallback_convs > 0:
         ref_norm = float(jnp.sqrt(jnp.mean(cal_out**2))) + 1e-12
         rows = []
         for k_node in g.nodes:
