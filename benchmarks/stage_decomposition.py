@@ -12,10 +12,10 @@ arithmetic ``model.apply`` runs, validated to bf16 tolerance by
 tests/test_fast_unet.py for the same folding helpers), then for each
 prefix length k jit the first k stages and time it scan-chained inside ONE
 program at the pipeline's effective model batch (64 tiles x 2 d4 views =
-128).  Slope timing between two scan lengths cancels dispatch overhead;
-differencing adjacent prefixes yields per-stage wall time measured
-IN CONTEXT — the same fusion/layout freedom XLA has inside the real
-pipeline, avoiding the isolated-conv layout artifact the round-3
+128).  Differencing adjacent prefixes cancels the per-execution dispatch
+cost exactly (both prefixes carry one dispatch) and yields per-stage wall
+time measured IN CONTEXT — the same fusion/layout freedom XLA has inside
+the real pipeline, avoiding the isolated-conv layout artifact the round-3
 narrow-conv study documented.  Per-stage bytes/FLOPs come from XLA's own
 cost model (differenced the same way), so each stage lands on the roofline
 chart: achieved GB/s vs the 819 GB/s HBM peak and achieved TFLOP/s vs the
@@ -55,7 +55,7 @@ TILE = 512
 BATCH = 128  # pipeline effective model batch: 64 tiles x 2 d4 views
 HBM_PEAK = 819e9
 BF16_PEAK = 197e12
-SCAN_SHORT, SCAN_LONG = 1, 3
+SCAN_LEN = 3  # dispatch overhead cancels when differencing adjacent prefixes
 
 
 def build_stages():
@@ -168,9 +168,7 @@ def main():
             .compile()
             .cost_analysis()
         )
-        t_short = timed(chained(fn, SCAN_SHORT), x0)
-        t_long = timed(chained(fn, SCAN_LONG), x0)
-        t = (t_long - t_short) / (SCAN_LONG - SCAN_SHORT)
+        t = timed(chained(fn, SCAN_LEN), x0) / SCAN_LEN
         dt, dby, dfl = t - prev_t, ca["bytes accessed"] - prev_by, ca["flops"] - prev_fl
         prev_t, prev_by, prev_fl = t, ca["bytes accessed"], ca["flops"]
         floor = max(dby / HBM_PEAK, dfl / BF16_PEAK)
