@@ -120,6 +120,66 @@ def tempered_softmax(activations: jnp.ndarray, t: float, num_iters: int = 5) -> 
     return exp_t(activations - constants, t)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _bt_loss_rows(
+    activations: jnp.ndarray, labels_onehot: jnp.ndarray, t1: float, t2: float, num_iters: int
+) -> jnp.ndarray:
+    """Per-row bi-tempered loss with a hand-derived backward.
+
+    AD through the (unrolled) normalization iteration streams one set of
+    [..., C] residuals per iteration through HBM — measured 9.5x the
+    fwd+bwd byte floor in round 5 (14.4x with the while-loop form in
+    round 4).  The analytic gradient needs only (activations, labels,
+    per-row constants) as residuals:
+
+        dL/da_i = u_i - e_i * S,   u_j = p_j^{1-t1+t2} - y_j p_j^{t2-t1},
+        e_i = p_i^{t2} / sum_k p_k^{t2}  (the escort distribution),
+        S = sum_j u_j
+
+    (from dp_j/da_i = p_j^{t2} (delta_ij - e_i), the implicit-function
+    gradient of the normalization — reference bitempered_loss.py:97-110 —
+    and dL/dp_j = p_j^{1-t1} - y_j p_j^{-t1}.  At t1=t2=1 this reduces to
+    the softmax-CE gradient p - y.)"""
+    probabilities = tempered_softmax(activations, t2, num_iters)
+    loss_values = (
+        labels_onehot * log_t(labels_onehot + 1e-10, t1)
+        - labels_onehot * log_t(probabilities, t1)
+        - jnp.power(labels_onehot, 2.0 - t1) / (2.0 - t1)
+        + jnp.power(probabilities, 2.0 - t1) / (2.0 - t1)
+    )
+    return loss_values.sum(axis=-1)
+
+
+def _bt_loss_rows_fwd(activations, labels_onehot, t1, t2, num_iters):
+    if t2 == 1.0:
+        constants = jax.scipy.special.logsumexp(activations, axis=-1, keepdims=True)
+    else:
+        constants = compute_normalization(activations, t2, num_iters)
+    probabilities = exp_t(activations - constants, t2)
+    loss_values = (
+        labels_onehot * log_t(labels_onehot + 1e-10, t1)
+        - labels_onehot * log_t(probabilities, t1)
+        - jnp.power(labels_onehot, 2.0 - t1) / (2.0 - t1)
+        + jnp.power(probabilities, 2.0 - t1) / (2.0 - t1)
+    )
+    return loss_values.sum(axis=-1), (activations, labels_onehot, constants)
+
+
+def _bt_loss_rows_bwd(t1, t2, num_iters, residuals, grad_rows):
+    activations, labels_onehot, constants = residuals
+    p = exp_t(activations - constants, t2)
+    u = jnp.power(p, 1.0 - t1 + t2) - labels_onehot * jnp.power(p, t2 - t1)
+    pt2 = jnp.power(p, t2)
+    escorts = pt2 / jnp.sum(pt2, axis=-1, keepdims=True)
+    grad = u - escorts * jnp.sum(u, axis=-1, keepdims=True)
+    # labels are targets, not parameters: their cotangent is declared zero
+    # (same contract as the torch reference, which never backprops labels)
+    return grad_rows[..., None] * grad, jnp.zeros_like(labels_onehot)
+
+
+_bt_loss_rows.defvjp(_bt_loss_rows_fwd, _bt_loss_rows_bwd)
+
+
 def bi_tempered_logistic_loss(
     activations: jnp.ndarray,
     labels: jnp.ndarray,
@@ -147,15 +207,7 @@ def bi_tempered_logistic_loss(
             1 - label_smoothing * num_classes / (num_classes - 1)
         ) * labels_onehot + label_smoothing / (num_classes - 1)
 
-    probabilities = tempered_softmax(activations, t2, num_iters)
-
-    loss_values = (
-        labels_onehot * log_t(labels_onehot + 1e-10, t1)
-        - labels_onehot * log_t(probabilities, t1)
-        - jnp.power(labels_onehot, 2.0 - t1) / (2.0 - t1)
-        + jnp.power(probabilities, 2.0 - t1) / (2.0 - t1)
-    )
-    loss_values = loss_values.sum(axis=-1)
+    loss_values = _bt_loss_rows(activations, labels_onehot, t1, t2, num_iters)
 
     if reduction == "sum":
         return loss_values.sum()
