@@ -31,7 +31,10 @@ from pytorch_toolbelt_tpu.zoo.fast_unet import _upsample_bilinear_nhwc
 
 enable_compile_cache(str(Path(__file__).parent.parent / ".xla_cache"))
 
-B, S, C_UP, C_SKIP, C_OUT = 128, 512, 64, 32, 32
+B, S, C_UP, C_SKIP, C_OUT = 64, 512, 64, 32, 32  # batch 128 OOMs in isolation:
+# the concat variant allocates the [B,512,512,96] tensor TWICE (concatenate
+# fusion + a layout copy — the OOM dump is direct evidence of the
+# materialization); half batch keeps both variants resident
 SCAN = 3
 
 
