@@ -270,6 +270,12 @@ def _build_encdec_graph(model: EncoderDecoderModel, variables):
     return g, input_id, head_id
 
 
+# Calibration is offline: force true-f32 contractions (on TPU the default
+# precision runs f32 convs as single-pass bf16, contaminating activation
+# ranges and bias-correction estimates — round-5 finding).
+_HI = jax.lax.Precision.HIGHEST
+
+
 def _f32_exec(node, vals, align_corners: bool, out_hw):
     """Execute one graph node in f32 (the calibration-replay semantics)."""
     if node.op == "conv":
@@ -280,6 +286,7 @@ def _f32_exec(node, vals, align_corners: bool, out_hw):
             node.attrs["pad"],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=node.attrs["groups"],
+            precision=_HI,
         ) + jnp.asarray(node.attrs["b"], jnp.float32)[None, None, None, :]
         if node.attrs["relu"]:
             y = jax.nn.relu(y)
@@ -298,13 +305,13 @@ def _f32_exec(node, vals, align_corners: bool, out_hw):
         h = jax.nn.relu(
             jax.lax.conv_general_dilated(
                 pooled, jnp.asarray(node.attrs["w1"], jnp.float32), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=_HI,
             ) + jnp.asarray(node.attrs["b1"], jnp.float32)
         )
         gate = jax.nn.sigmoid(
             jax.lax.conv_general_dilated(
                 h, jnp.asarray(node.attrs["w2"], jnp.float32), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=_HI,
             ) + jnp.asarray(node.attrs["b2"], jnp.float32)
         )
         return x * gate
@@ -317,15 +324,21 @@ def _f32_exec(node, vals, align_corners: bool, out_hw):
         x = vals[node.inputs[0]]
         wh = jnp.asarray(_linear_weights(x.shape[1], 2 * x.shape[1], True, np.float32))
         ww = jnp.asarray(_linear_weights(x.shape[2], 2 * x.shape[2], True, np.float32))
-        return jnp.einsum("nhwc,ow->nhoc", jnp.einsum("nhwc,oh->nowc", x, wh), ww)
+        return jnp.einsum(
+            "nhwc,ow->nhoc",
+            jnp.einsum("nhwc,oh->nowc", x, wh, precision=_HI), ww, precision=_HI,
+        )
     if node.op == "head":
         y = jax.lax.conv_general_dilated(
             vals[node.inputs[0]], jnp.asarray(node.attrs["w"], jnp.float32), (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=_HI,
         ) + jnp.asarray(node.attrs["b"], jnp.float32)[None, None, None, :]
         wh = jnp.asarray(_linear_weights(y.shape[1], out_hw[0], align_corners, np.float32))
         ww = jnp.asarray(_linear_weights(y.shape[2], out_hw[1], align_corners, np.float32))
-        return jnp.einsum("nhwc,ow->nhoc", jnp.einsum("nhwc,oh->nowc", y, wh), ww)
+        return jnp.einsum(
+            "nhwc,ow->nhoc",
+            jnp.einsum("nhwc,oh->nowc", y, wh, precision=_HI), ww, precision=_HI,
+        )
     raise AssertionError(node.op)  # pragma: no cover
 
 
@@ -360,6 +373,7 @@ def _simulate_conv_int8(node, x_f32, sig_in, amax_out):
         (node.attrs["stride"],) * 2, node.attrs["pad"],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=node.attrs["groups"],
+        precision=_HI,
     )
     y = acc * jnp.asarray(sw, jnp.float32) + jnp.asarray(node.attrs["b"], jnp.float32)
     if node.attrs["relu"]:

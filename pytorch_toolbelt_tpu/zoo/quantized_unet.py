@@ -214,10 +214,17 @@ def _calibrate_unet(model, variables, calibration_images, margin: float):
     x_cal = jnp.asarray(calibration_images, jnp.float32)
     amax = {}
 
+    # Calibration is offline: force true-f32 contractions.  On TPU the
+    # backend's DEFAULT precision runs f32 convs as single-pass bf16,
+    # which contaminates both the activation ranges and the
+    # bias-correction error estimates (round-5 finding: the round-4
+    # config-3 fidelity figure was inflated by exactly this).
+    _HI = jax.lax.Precision.HIGHEST
+
     def cal_conv(x, w, b, key):
         y = jax.lax.conv_general_dilated(
             x, jnp.asarray(w, jnp.float32), (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=_HI,
         ) + jnp.asarray(b, jnp.float32)[None, None, None, :]
         y = jnp.maximum(y, 0.0)
         amax[key] = np.asarray(jnp.abs(y).max(axis=(0, 1, 2)), np.float64) * margin
@@ -226,7 +233,10 @@ def _calibrate_unet(model, variables, calibration_images, margin: float):
     def cal_upsample(x, oh, ow):
         wh = jnp.asarray(_linear_weights(x.shape[1], oh, True, np.float32))
         ww = jnp.asarray(_linear_weights(x.shape[2], ow, True, np.float32))
-        return jnp.einsum("nhwc,ow->nhoc", jnp.einsum("nhwc,oh->nowc", x, wh), ww)
+        return jnp.einsum(
+            "nhwc,ow->nhoc",
+            jnp.einsum("nhwc,oh->nowc", x, wh, precision=_HI), ww, precision=_HI,
+        )
 
     x = x_cal
     skips_cal = []
