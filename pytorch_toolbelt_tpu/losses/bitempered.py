@@ -38,10 +38,43 @@ def log_t(u: jnp.ndarray, t: float) -> jnp.ndarray:
     return (jnp.power(u, 1.0 - t) - 1.0) / (1.0 - t)
 
 
+def _static_half_pow(z: jnp.ndarray, p: float) -> Optional[jnp.ndarray]:
+    """z**p via sqrt/rsqrt + multiplies when 2p is a small integer.
+
+    The VPU's generic pow (exp·log) measures 66 Gpow/s on this chip; the
+    decomposed form measures 127 Gpow/s (benchmarks/RESULTS.md, round 5).
+    exp_t's exponent 1/(1-t) is half-integer for many practical t
+    (t=1.4 -> -2.5, t=1.5 -> -2, t=1.25 -> -4, t=0.5 -> 2), and the
+    tempered-softmax iteration evaluates it ~6x per element — the loss's
+    measured compute wall.  Returns None when p is not decomposable.
+    Matches jnp.power at the boundary: z=0 with p<0 gives +inf."""
+    n2 = round(2.0 * p)
+    if abs(2.0 * p - n2) > 1e-12 or not (0 < abs(n2) <= 11):
+        return None
+    neg = n2 < 0
+    n2 = abs(n2)
+    if n2 % 2 == 0:
+        base, k = (jnp.reciprocal(z) if neg else z), n2 // 2
+    else:
+        base, k = (jax.lax.rsqrt(z) if neg else jnp.sqrt(z)), n2
+    acc = None
+    while k:
+        if k & 1:
+            acc = base if acc is None else acc * base
+        k >>= 1
+        if k:
+            base = base * base
+    return acc
+
+
 def exp_t(u: jnp.ndarray, t: float) -> jnp.ndarray:
     if t == 1.0:
         return jnp.exp(u)
-    return jnp.power(jax.nn.relu(1.0 + (1.0 - t) * u), 1.0 / (1.0 - t))
+    z = jax.nn.relu(1.0 + (1.0 - t) * u)
+    fast = _static_half_pow(z, 1.0 / (1.0 - t))
+    if fast is not None:
+        return fast
+    return jnp.power(z, 1.0 / (1.0 - t))
 
 
 def _normalization_fixed_point(activations: jnp.ndarray, t: float, num_iters: int) -> jnp.ndarray:
