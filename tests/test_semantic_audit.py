@@ -18,8 +18,6 @@ of the reference-facing surface:
   (reference inference/functional.py:24-160).
 """
 
-import math
-
 import numpy as np
 import pytest
 
