@@ -34,6 +34,12 @@ if "xla_force_host_platform_device_count" not in flags:
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import jax
+
+# this image's sitecustomize registers the axon TPU backend at interpreter
+# boot and overrides JAX_PLATFORMS from the environment — force CPU through
+# jax.config (same workaround as tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) >= 8
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
