@@ -7,7 +7,7 @@ from .comm import (
     reduce_dict_sum,
     split_across_nodes,
 )
-from .tiled import clear_sharded_cache, tiled_apply_sharded
+from .tiled import clear_sharded_cache, read_sharded_window, tiled_apply_sharded
 from .mesh import (
     batch_sharding,
     batch_spatial_sharding,
@@ -29,6 +29,7 @@ __all__ = [
     "reduce_dict_sum",
     "split_across_nodes",
     "clear_sharded_cache",
+    "read_sharded_window",
     "tiled_apply_sharded",
     "batch_sharding",
     "batch_spatial_sharding",

@@ -72,7 +72,32 @@ except ImportError:  # pragma: no cover
 
 from ..inference.tiles import ImageSlicer, _stack_batches
 
-__all__ = ["tiled_apply_sharded", "clear_sharded_cache"]
+__all__ = ["tiled_apply_sharded", "clear_sharded_cache", "read_sharded_window"]
+
+
+def read_sharded_window(array, row0: int, row1: int, col0: int, col1: int):
+    """Read a host-side window of a row-sharded array WITHOUT a global
+    slice.  ``array[r0:r1, c0:c1]`` on a sharded array makes GSPMD gather
+    the FULL array onto every device (measured +29-33 GB on the 10k
+    config-5 canvas); this helper instead slices each addressable shard
+    locally and concatenates on the host — the distributed-native way to
+    inspect windows of a huge sharded canvas.
+
+    Returns a numpy array of shape [row1-row0, col1-col0, ...]."""
+    import numpy as _np
+
+    pieces = []
+    shards = sorted(array.addressable_shards, key=lambda s: s.index[0].start or 0)
+    for s in shards:
+        rs = s.index[0]
+        lo = rs.start or 0
+        hi = rs.stop if rs.stop is not None else array.shape[0]
+        a, b = max(row0, lo), min(row1, hi)
+        if a < b:
+            pieces.append(_np.asarray(s.data[a - lo : b - lo, col0:col1]))
+    if not pieces:
+        raise ValueError(f"rows [{row0}, {row1}) not addressable from this host")
+    return _np.concatenate(pieces, axis=0)
 
 
 def _resolve_d4(model_fn, d4_tta, tile_size, tile_step):
@@ -185,15 +210,16 @@ def tiled_apply_sharded(
     slicer, strip_h, runner, per_dev_args, dev_grid, out_channels = entry
     th = slicer.tile_size[0]
     n = int(mesh.shape[axis_name])
-    tgt_h_pad = strip_h * n
-    tgt_w = slicer.target_shape[1]
 
     # input image as per-device row strips with a tile-height halo on both
-    # sides (frame shift +th), so nothing full-resolution is ever replicated
+    # sides, so nothing full-resolution is ever replicated.  Padded frame:
+    # row p = target-frame row y + th; the bottom pad covers the last
+    # device's halo past the target rows.
+    extra_bottom = max(0, slicer.margin_top + n * strip_h - (slicer.target_shape[0] - th))
     padded_np = np.pad(
         np.asarray(image, dtype=np.float32),
         [
-            (slicer.margin_top + th, slicer.margin_bottom + (tgt_h_pad - slicer.target_shape[0]) + th),
+            (slicer.margin_top + th, slicer.margin_bottom + th + extra_bottom),
             (slicer.margin_left, slicer.margin_right),
             (0, 0),
         ],
@@ -204,22 +230,26 @@ def tiled_apply_sharded(
     # persistent compile cache)
     outs = []
     for d in range(n):
-        strip_np = padded_np[d * strip_h : d * strip_h + strip_h + 2 * th]
+        lo = slicer.margin_top + d * strip_h  # target-frame window start
+        strip_np = padded_np[lo : lo + strip_h + 2 * th]
         strip = jax.device_put(strip_np, dev_grid[d, 0])
-        mains, rems, weight_dev, inv_norm_strip = per_dev_args[d]
-        outs.append(runner(strip, mains, rems, weight_dev, inv_norm_strip))
+        mains, rems, weight_dev, inv_norm_crop = per_dev_args[d]
+        outs.append(runner(strip, mains, rems, weight_dev, inv_norm_crop))
     arrays = []
     for d in range(n):
         arrays.append(outs[d])
         for replica in dev_grid[d, 1:]:
             arrays.append(jax.device_put(outs[d], replica))
+    # shards are final-output windows of strip_h rows each: when n divides h
+    # (every at-scale config) the assembly IS the result — no global slicing
     merged = jax.make_array_from_single_device_arrays(
-        (tgt_h_pad, tgt_w, out_channels), NamedSharding(mesh, P(axis_name)), arrays
+        (n * strip_h, w, out_channels), NamedSharding(mesh, P(axis_name)), arrays
     )
-    return merged[
-        slicer.margin_top : slicer.margin_top + h,
-        slicer.margin_left : slicer.margin_left + w,
-    ]
+    if n * strip_h == h:
+        return merged
+    # uneven tail only (small images): this global trim does reshard — at
+    # scale keep h divisible by the mesh axis
+    return merged[:h]
 
 
 _STRIPS_CACHE = {}
@@ -238,29 +268,37 @@ def clear_sharded_cache() -> None:
 def _build_strips_program(
     model_fns, partition, mesh, axis_name, h, w, c, tile_size, tile_step, weight, batch_size
 ):
-    """Build (slicer, strip_h, runner, per-device args, device grid, K) for
+    """Build (slicer, strip_h, runners, per-device args, device grid, K) for
     a strips-canvas configuration.  Per-device constants (balanced batch
     coords, weight window, inverse-norm strip) are committed to their
-    devices once and reused across calls."""
+    devices once and reused across calls.
+
+    Round-5 geometry: strips are aligned to the FINAL output rows
+    (``strip_h = ceil(h / n)``) and each per-device program crops its own
+    margins, so the assembled sharded array is exactly [h, w, K] and the
+    caller never slices it globally.  (A global row slice of a
+    row-sharded array — even an aligned one — makes GSPMD gather the FULL
+    array on every device: measured +29-33 GB on the 10k config-5 test,
+    the round-5 OOM root cause.)"""
     n = int(mesh.shape[axis_name])
     slicer = ImageSlicer((h, w), tile_size, tile_step, weight=weight)
     th, tw = slicer.tile_size
     tgt_h, tgt_w = slicer.target_shape
-    strip_h = -(-tgt_h // n)
-    tgt_h_pad = strip_h * n
+    m_top, m_left = slicer.margin_top, slicer.margin_left
+    strip_h = -(-h // n)  # output rows per device (final frame)
 
     coords = slicer.crops  # (x, y, w, h)
     ys, xs = coords[:, 1].astype(np.int64), coords[:, 0].astype(np.int64)
     coords_yx = np.stack([ys, xs], axis=1)
     masks = _group_masks(coords_yx, slicer.tile_step, partition)
 
-    # static normalization canvas, split into per-device strips
+    # static normalization canvas in the target frame
     weight_np = slicer.weight.astype(np.float32)
-    norm = np.zeros((tgt_h_pad, tgt_w), dtype=np.float64)
+    norm = np.zeros((tgt_h, tgt_w), dtype=np.float64)
     for x, y in zip(xs, ys):
         norm[y : y + th, x : x + tw] += weight_np
     norm = np.clip(norm, np.finfo(np.float64).eps, None).astype(np.float32)
-    inv_norm_strips = (1.0 / norm).reshape(n, strip_h, tgt_w, 1)
+    inv_norm = 1.0 / norm
 
     probe = jax.eval_shape(
         model_fns[0], jax.ShapeDtypeStruct((batch_size, th, tw, c), jnp.float32)
@@ -270,31 +308,44 @@ def _build_strips_program(
     dev_grid = _axis_device_grid(mesh, axis_name)
     weight_const = jnp.asarray(weight_np)[..., None]
 
+    # inverse norm, extended with identity rows past the target so every
+    # device's strip_h-row window is defined (the canvas there is zero and
+    # those rows are trimmed by the caller when h % n != 0)
+    rows_total = m_top + n * strip_h
+    if rows_total > tgt_h:
+        inv_norm = np.concatenate(
+            [inv_norm, np.ones((rows_total - tgt_h, tgt_w), np.float32)], axis=0
+        )
+
     # per-device, per-group tile lists: every tile of the group whose rows
-    # intersect the device strip, in global scan order (bit-match invariant),
-    # split into balanced exact batches — no padding slots.
+    # intersect the device's OUTPUT window (target-frame rows
+    # [m_top + d*strip_h, m_top + (d+1)*strip_h)), in global scan order
+    # (bit-match invariant), split into balanced exact batches — no padding
+    # slots.  Local row offsets are in the haloed strip frame (window start
+    # minus one tile height).
     per_dev_args = []
     for d in range(n):
         dev = dev_grid[d, 0]
-        lo, hi = d * strip_h, (d + 1) * strip_h
+        lo = m_top + d * strip_h
+        hi = lo + strip_h
         mains, rems = [], []
         for g_mask in masks:
             sel = g_mask & (ys + th > lo) & (ys < hi)
-            # local row offset is in the haloed frame (strip start minus one tile)
             local = np.stack([ys[sel] - lo + th, xs[sel]], axis=1).astype(np.int32)
             main, rem = _stack_batches(local, batch_size)
             mains.append(jax.device_put(main, dev))
             rems.append(jax.device_put(rem, dev))
+        inv_crop = inv_norm[lo:hi, m_left : m_left + w, None]
         per_dev_args.append(
             (
                 tuple(mains),
                 tuple(rems),
                 jax.device_put(weight_const, dev),
-                jax.device_put(jnp.asarray(inv_norm_strips[d]), dev),
+                jax.device_put(jnp.asarray(inv_crop), dev),
             )
         )
 
-    runner = _build_strip_runner(model_fns, strip_h, tgt_w, th, tw, out_channels)
+    runner = _build_strip_runner(model_fns, strip_h, tgt_w, m_left, w, th, tw, out_channels)
     return slicer, strip_h, runner, tuple(per_dev_args), dev_grid, out_channels
 
 
@@ -317,15 +368,17 @@ def _accumulate_batch(model_fn, canvas, batch_coords, padded, weight_dev, th, tw
     return lax.fori_loop(0, n, inner, canvas)
 
 
-@lru_cache(maxsize=8)
-def _build_strip_runner(model_fns, strip_rows, tgt_w, th, tw, out_channels):
+@lru_cache(maxsize=64)
+def _build_strip_runner(model_fns, strip_rows, tgt_w, col_off, w_out, th, tw, out_channels):
     """Jitted per-device strips program: haloed local canvas, group-ordered
-    balanced-batch scans + exact remainder steps, own-strip slice x inverse
-    norm.  Retraces per distinct batch-plan shapes; devices whose plans
-    coincide share the trace."""
+    balanced-batch scans + exact remainder steps, then the device's own
+    FINAL-frame window (strip_rows output rows x [col_off, col_off+w_out)
+    columns) x inverse norm — margins cropped locally so the assembled
+    array needs no global slicing.  Retraces per distinct batch-plan
+    shapes; devices whose plans coincide share the trace."""
 
     @jax.jit
-    def run(strip_img, group_mains, group_rems, weight_dev, inv_norm_strip):
+    def run(strip_img, group_mains, group_rems, weight_dev, inv_norm_crop):
         local = jnp.zeros((strip_rows + 2 * th, tgt_w, out_channels), jnp.float32)
         for fn, main, rem in zip(model_fns, group_mains, group_rems):
             if main.shape[0] > 0:
@@ -341,9 +394,9 @@ def _build_strip_runner(model_fns, strip_rows, tgt_w, th, tw, out_channels):
                 local = _accumulate_batch(
                     fn, local, rem, strip_img, weight_dev, th, tw, out_channels
                 )
-        # own strip only; halo rows belong to the neighbours, which computed
-        # the straddling tiles themselves
-        return local[th : th + strip_rows] * inv_norm_strip
+        # own output window only; halo rows belong to the neighbours, which
+        # computed the straddling tiles themselves
+        return local[th : th + strip_rows, col_off : col_off + w_out] * inv_norm_crop
 
     return run
 

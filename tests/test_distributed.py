@@ -121,7 +121,10 @@ def test_tiled_apply_sharded_19class_10k_strips():
     assert out.shape == (10000, 10000, 19)
     expected = np.asarray(model(image[None]))[0]
     sl = np.s_[5000:5100, 5000:5100]  # spot-check an interior window
-    np.testing.assert_allclose(np.asarray(out[sl]), expected[sl], atol=1e-4)
+    # read via per-shard local slicing: a global out[sl] would gather the
+    # full 7.6 GB canvas onto every virtual device (the r5 OOM root cause)
+    got = dist.read_sharded_window(out, 5000, 5100, 5000, 5100)
+    np.testing.assert_allclose(got, expected[sl], atol=1e-4)
 
 
 def test_tiled_apply_sharded_with_real_unet():
