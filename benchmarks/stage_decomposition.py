@@ -158,8 +158,13 @@ def main():
     rng = np.random.RandomState(0)
     x0 = jnp.asarray(rng.rand(BATCH, TILE, TILE, 3).astype(np.float32))
 
+    # empty-prefix baseline: differencing adjacent prefixes cancels the
+    # per-execution dispatch for stages 2+ automatically; stage 1 needs the
+    # dispatch measured explicitly (a k=0 identity chain)
+    t_base = timed(chained(lambda x: x.astype(jnp.bfloat16), SCAN_LEN), x0) / SCAN_LEN
+
     rows = []
-    prev_t, prev_by, prev_fl = 0.0, 0.0, 0.0
+    prev_t, prev_by, prev_fl = t_base, 0.0, 0.0
     for k in range(1, len(stages) + 1):
         fn = prefix_fn(stages, k)
         ca = (

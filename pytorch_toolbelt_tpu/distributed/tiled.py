@@ -87,17 +87,27 @@ def read_sharded_window(array, row0: int, row1: int, col0: int, col1: int):
     import numpy as _np
 
     pieces = []
+    seen_ranges = set()  # replicated-axis meshes expose each row block once per replica
     shards = sorted(array.addressable_shards, key=lambda s: s.index[0].start or 0)
     for s in shards:
         rs = s.index[0]
         lo = rs.start or 0
         hi = rs.stop if rs.stop is not None else array.shape[0]
+        if (lo, hi) in seen_ranges:
+            continue
+        seen_ranges.add((lo, hi))
         a, b = max(row0, lo), min(row1, hi)
         if a < b:
             pieces.append(_np.asarray(s.data[a - lo : b - lo, col0:col1]))
     if not pieces:
         raise ValueError(f"rows [{row0}, {row1}) not addressable from this host")
-    return _np.concatenate(pieces, axis=0)
+    out = _np.concatenate(pieces, axis=0)
+    if out.shape[0] != row1 - row0:
+        raise ValueError(
+            f"window rows [{row0}, {row1}) only partially addressable from this "
+            f"host (got {out.shape[0]} rows)"
+        )
+    return out
 
 
 def _resolve_d4(model_fn, d4_tta, tile_size, tile_step):

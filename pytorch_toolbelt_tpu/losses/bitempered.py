@@ -44,10 +44,18 @@ def _static_half_pow(z: jnp.ndarray, p: float) -> Optional[jnp.ndarray]:
     The VPU's generic pow (exp·log) measures 66 Gpow/s on this chip; the
     decomposed form measures 127 Gpow/s (benchmarks/RESULTS.md, round 5).
     exp_t's exponent 1/(1-t) is half-integer for many practical t
-    (t=1.4 -> -2.5, t=1.5 -> -2, t=1.25 -> -4, t=0.5 -> 2), and the
-    tempered-softmax iteration evaluates it ~6x per element — the loss's
-    measured compute wall.  Returns None when p is not decomposable.
-    Matches jnp.power at the boundary: z=0 with p<0 gives +inf."""
+    (t=1.4 -> -2.5, t=1.5 -> -2, t=1.25 -> -4), and the tempered-softmax
+    iteration evaluates it ~6x per element — the loss's measured compute
+    wall.  Returns None when p is not decomposable.
+    Matches jnp.power at the boundary: z=0 with p<0 gives +inf.
+
+    Restricted to NEGATIVE p (the t>1 regime): for positive half-integer
+    p (t<1) the sqrt chain's AD at z=0 yields inf*0=NaN where
+    jnp.power's VJP (p * z^(p-1)) returns 0 — and exp_t/tempered_softmax
+    are public differentiable API.  At negative p both forms diverge at
+    z=0 identically (the loss path is shielded by its custom VJP)."""
+    if p >= 0:
+        return None
     n2 = round(2.0 * p)
     if abs(2.0 * p - n2) > 1e-12 or not (0 < abs(n2) <= 11):
         return None
@@ -205,9 +213,18 @@ def _bt_loss_rows_bwd(t1, t2, num_iters, residuals, grad_rows):
     pt2 = jnp.power(p, t2)
     escorts = pt2 / jnp.sum(pt2, axis=-1, keepdims=True)
     grad = u - escorts * jnp.sum(u, axis=-1, keepdims=True)
-    # labels are targets, not parameters: their cotangent is declared zero
-    # (same contract as the torch reference, which never backprops labels)
-    return grad_rows[..., None] * grad, jnp.zeros_like(labels_onehot)
+    # label cotangent: dL/dy = log_t1(y+eps) + y*(y+eps)^-t1 - log_t1(p)
+    # - y^(1-t1)  (c does not depend on y).  A separate bwd output, so XLA
+    # dead-code-eliminates it whenever labels aren't differentiated —
+    # the common case costs nothing.
+    ye = labels_onehot + 1e-10
+    grad_labels = (
+        log_t(ye, t1)
+        + labels_onehot * jnp.power(ye, -t1)
+        - log_t(p, t1)
+        - jnp.power(labels_onehot, 1.0 - t1)
+    )
+    return grad_rows[..., None] * grad, grad_rows[..., None] * grad_labels
 
 
 _bt_loss_rows.defvjp(_bt_loss_rows_fwd, _bt_loss_rows_bwd)

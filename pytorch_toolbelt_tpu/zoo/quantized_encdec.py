@@ -227,7 +227,12 @@ def _node_amax(y: jnp.ndarray, mode: str, percentile: float) -> np.ndarray:
     if mode == "absmax":
         return np.asarray(absmax, np.float64)
     if mode == "percentile":
-        return np.asarray(jnp.percentile(a, percentile, axis=axes), np.float64)
+        pct = np.asarray(jnp.percentile(a, percentile, axis=axes), np.float64)
+        # sparse post-relu channels (fewer than 1-percentile nonzeros) have
+        # a zero percentile; an amax of 0 would give a degenerate ~1e-14
+        # scale that saturates every real activation to +-127.  Floor the
+        # clip at a small fraction of absmax so sparsity clips, not erases.
+        return np.maximum(pct, np.asarray(absmax, np.float64) * 1e-3)
     if mode == "mse":
         factors = np.linspace(0.5, 1.0, 11)
         errs = []
@@ -415,13 +420,27 @@ def attribute_quantization_error(
         y = _f32_exec(node, vals, head.interpolation_align_corners, out_hw)
         vals[node.id] = y
         amax[node.id] = _node_amax(y, calibration, percentile) * margin
+    input_amax = _node_amax(x_cal, calibration, percentile) * margin
+    return _rank_single_layer_errors(
+        g, input_id, head_id, head.interpolation_align_corners, out_hw,
+        vals, amax, input_amax,
+    )
+
+
+def _rank_single_layer_errors(
+    g, input_id, head_id, align_corners, out_hw, vals, amax, input_amax, ops=None
+) -> List[dict]:
+    """Shared single-layer-replay ranking used by both the public
+    attribution probe and the ``fallback_convs`` selection (one
+    implementation: fixes to the replay apply to both)."""
     f_ref = vals[head_id]
     ref_norm = float(jnp.sqrt(jnp.mean(f_ref**2))) + 1e-12
-    input_amax = _node_amax(x_cal, calibration, percentile) * margin
 
     rows = []
     for k_node in g.nodes:
         if k_node.op in ("input", "maxpool3s2", "avgpool2", "head"):
+            continue
+        if ops is not None and k_node.op not in ops:
             continue
         src = k_node.inputs[0]
         sig_in = np.maximum(input_amax if src == input_id else amax[src], 1e-12) / _QMAX
@@ -436,7 +455,7 @@ def attribute_quantization_error(
         for node in g.nodes[k_node.id + 1 :]:
             if node.op == "input":
                 continue
-            vals_k[node.id] = _f32_exec(node, vals_k, head.interpolation_align_corners, out_hw)
+            vals_k[node.id] = _f32_exec(node, vals_k, align_corners, out_hw)
         err = float(jnp.sqrt(jnp.mean((vals_k[head_id] - f_ref) ** 2))) / ref_norm
         rows.append({"node": k_node.id, "op": k_node.op, "rel_rms": err})
     rows.sort(key=lambda r: r["rel_rms"], reverse=True)
@@ -523,26 +542,11 @@ def quantize_encoder_decoder_inference(
         if bad:
             raise ValueError(f"fallback_nodes must be conv node ids; bad: {sorted(bad)}")
     elif fallback_convs > 0:
-        ref_norm = float(jnp.sqrt(jnp.mean(cal_out**2))) + 1e-12
-        rows = []
-        for k_node in g.nodes:
-            if k_node.op != "conv":
-                continue
-            src = k_node.inputs[0]
-            sig_in_k = np.maximum(input_amax if src == input_id else amax[src], 1e-12) / _QMAX
-            y_q = _simulate_conv_int8(k_node, vals[src], sig_in_k, amax[k_node.id])
-            vals_k = dict(vals)
-            vals_k[k_node.id] = y_q
-            for node in g.nodes[k_node.id + 1 :]:
-                if node.op == "input":
-                    continue
-                vals_k[node.id] = _f32_exec(
-                    node, vals_k, head.interpolation_align_corners, cal_hw_out
-                )
-            err = float(jnp.sqrt(jnp.mean((vals_k[head_id] - cal_out) ** 2))) / ref_norm
-            rows.append((err, k_node.id))
-        rows.sort(reverse=True)
-        f32_nodes = {node_id for _, node_id in rows[:fallback_convs]}
+        rows = _rank_single_layer_errors(
+            g, input_id, head_id, head.interpolation_align_corners, cal_hw_out,
+            vals, amax, input_amax, ops=("conv",),
+        )
+        f32_nodes = {r["node"] for r in rows[:fallback_convs]}
     if not bias_correction:
         del vals
 
